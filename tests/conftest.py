@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding
+semantics (half/data axes) are testable without TPU hardware.
+
+The environment may preload a remote-TPU PJRT plugin via sitecustomize
+(PALLAS_AXON_POOL_IPS) and bake JAX_PLATFORMS=axon into jax.config at import
+time — os.environ overrides are too late. ``jax.config.update`` still wins
+as long as no backend has been initialized, so do that here (conftest runs
+before any test imports trigger device lookup)."""
+
+import os
+
+# must be set before the CPU backend is first initialized
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
