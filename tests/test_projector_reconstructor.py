@@ -1,0 +1,186 @@
+"""The core integration oracle (SURVEY.md section 4): adjoint consistency of
+gather/scatter interpolation and the project -> insert -> reconstruct
+round-trip on a synthetic phantom (the thunder_project/thunder_reconstruct
+loop, appsrc/thunder_project.cpp / thunder_reconstruct.cpp:69-135)."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from thunder_tpu.geom import quat
+from thunder_tpu.ops import fft, pixels
+from thunder_tpu.ops.interp import linear_gather, linear_scatter_add
+from thunder_tpu.core import projector, reconstructor
+
+
+def _phantom(n):
+    g = np.mgrid[:n, :n, :n] - n // 2
+    blob = lambda c, s: np.exp(
+        -((g[0] - c[0]) ** 2 + (g[1] - c[1]) ** 2 + (g[2] - c[2]) ** 2) / (2 * s**2)
+    )
+    v = blob((0, 3, 2), 2.2) + 0.7 * blob((2, -4, -1), 1.8) + 0.5 * blob((-4, 1, -3), 1.5)
+    return v.astype(np.float32)
+
+
+def test_gather_scatter_adjoint(rng):
+    n = 16
+    grid = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-6, 6, size=(50, 3)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(50,)).astype(np.float32))
+    lhs = jnp.sum(linear_gather(grid, coords) * v)
+    scat = linear_scatter_add(jnp.zeros_like(grid), coords, v)
+    rhs = jnp.sum(grid * scat)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_gather_out_of_bounds_zero():
+    n = 8
+    grid = jnp.ones((n, n, n))
+    far = jnp.asarray([[100.0, 0, 0], [0, -100.0, 0]])
+    np.testing.assert_allclose(linear_gather(grid, far), 0.0)
+
+
+def test_scatter_out_of_bounds_dropped():
+    n = 8
+    g = linear_scatter_add(
+        jnp.zeros((n, n, n)), jnp.asarray([[100.0, 0, 0]]), jnp.asarray([5.0])
+    )
+    assert float(jnp.sum(jnp.abs(g))) == 0.0
+
+
+def test_identity_projection_matches_z_sum():
+    """Fourier-slice theorem: identity-rotation projection == FT of the
+    z-sum of the volume (up to grid-correction/interp error)."""
+    n = 32
+    vol = jnp.asarray(_phantom(n))
+    vf = projector.build_projectee_3d(vol, pf=2)
+    ring = pixels.pixel_ring(n, 0, n // 2 - 1)
+    rot = jnp.eye(3)
+    proj = projector.project_pixels_3d(vf, rot, jnp.asarray(ring.col), jnp.asarray(ring.row), pf=2)
+    # ground truth: sum along z then 2D FFT
+    img = jnp.sum(vol, axis=0)
+    truth_ft = fft.fft2_center(img)
+    truth = pixels.gather_pixels(truth_ft, ring)
+    mask = np.asarray(ring.mask) > 0
+    p, tr = np.asarray(proj)[mask], np.asarray(truth)[mask]
+    corr = np.abs(np.vdot(p, tr)) / (np.linalg.norm(p) * np.linalg.norm(tr))
+    assert corr > 0.999, corr
+    # amplitudes within a few percent
+    np.testing.assert_allclose(
+        np.linalg.norm(p), np.linalg.norm(tr), rtol=0.05
+    )
+
+
+def test_rotated_projection_consistency():
+    """Projecting at rotation R must equal projecting the R-rotated volume
+    at identity (up to interpolation error)."""
+    n = 32
+    vol = jnp.asarray(_phantom(n))
+    vf = projector.build_projectee_3d(vol, pf=2)
+    q = quat.normalize(jnp.asarray([0.9, 0.2, -0.3, 0.1]))
+    rot = quat.rotate3d(q)
+    ring = pixels.pixel_ring(n, 0, n // 2 - 4)
+    proj_r = projector.project_pixels_3d(
+        vf, rot, jnp.asarray(ring.col), jnp.asarray(ring.row), pf=2
+    )
+    # rotate the volume in real space with the same convention and project
+    # at identity. real-space rotation: sample vol at R^T x ... but our
+    # projection operates in Fourier space; F(R k). Rotating the volume by
+    # R in real space gives spectrum F(R^-1 k)... consistency check:
+    # project(vf, R1 @ R2) == project(rotate_ft(vf, R1), R2)
+    m = vf.shape[-1]
+    idx = jnp.arange(m, dtype=jnp.float32) - m // 2
+    zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    coords = jnp.stack([xx, yy, zz], axis=-1)
+    rc = jnp.einsum("ij,...j->...i", rot.astype(jnp.float32), coords)[..., ::-1]
+    vf_rot = linear_gather(vf, rc)  # vf_rot(k) = vf(R k)
+    proj_i = projector.project_pixels_3d(
+        vf_rot, jnp.eye(3), jnp.asarray(ring.col), jnp.asarray(ring.row), pf=2
+    )
+    mask = np.asarray(ring.mask) > 0
+    a, b = np.asarray(proj_r)[mask], np.asarray(proj_i)[mask]
+    corr = np.abs(np.vdot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.99, corr
+
+
+def test_project_insert_reconstruct_roundtrip():
+    """The oracle: many-orientation projections reconstruct the phantom."""
+    n = 32
+    pf = 2
+    vol = jnp.asarray(_phantom(n))
+    vf = projector.build_projectee_3d(vol, pf=pf)
+    max_r = n // 2 - 2
+    ring = pixels.pixel_ring(n, 0, max_r)
+    col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
+    pmask = jnp.asarray(ring.mask)
+
+    key = jax.random.PRNGKey(0)
+    n_views = 192
+    rots = quat.rotate3d(quat.random_quat(key, n_views))
+
+    proj = projector.project_pixels_3d(vf, rots, col, row, pf=pf)  # (V, P)
+    state = reconstructor.empty_state(n, pf=pf)
+    ctf = jnp.ones_like(proj.real)
+    w = jnp.ones((n_views,))
+    # insert in chunks to bound memory
+    for s in range(0, n_views, 64):
+        state = reconstructor.insert_pixels_3d(
+            state, proj[s : s + 64], ctf[s : s + 64], rots[s : s + 64],
+            col, row, w[s : s + 64], pf=pf, pixel_mask=pmask,
+        )
+    fsc = jnp.ones((n // 2,))
+    out = reconstructor.reconstruct(
+        state["F"], state["T"], fsc, n, pf=pf, max_radius=max_r,
+        grid_corr=True, map_wiener=True,
+    )
+    out = np.asarray(out)
+    ref = np.asarray(vol)
+    # compare band-limited (reconstruction only covers r < max_r)
+    ref_ft = np.asarray(fft.fft3_center(jnp.asarray(ref)))
+    out_ft = np.asarray(fft.fft3_center(jnp.asarray(out)))
+    r = np.asarray(fft.radius_grid_3d(n))
+    band = r < max_r - 1
+    a, b = out_ft[band], ref_ft[band]
+    corr = np.abs(np.vdot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.98, corr
+    # per-shell FSC between reconstruction and ground truth; the Gaussian
+    # phantom's spectrum decays exponentially, so trilinear gridding leakage
+    # dominates the top shells (inherent to the method, same for the
+    # reference) — require fidelity through ~2/3 of the band
+    from thunder_tpu.ops import spectrum
+
+    fsc_curve = np.asarray(
+        spectrum.frc_fsc(jnp.asarray(out_ft), jnp.asarray(ref_ft), n // 2, 3)
+    )
+    assert np.all(fsc_curve[1:11] > 0.9), fsc_curve
+
+
+def test_roundtrip_white_spectrum(rng):
+    """Flat-spectrum phantom: fidelity must hold through nearly the whole
+    band (isolates gridding leakage from coverage)."""
+    n, pf = 32, 2
+    vol = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
+    vf = projector.build_projectee_3d(vol, pf=pf)
+    max_r = n // 2 - 2
+    ring = pixels.pixel_ring(n, 0, max_r)
+    col, row, pm = jnp.asarray(ring.col), jnp.asarray(ring.row), jnp.asarray(ring.mask)
+    n_views = 384
+    rots = quat.rotate3d(quat.random_quat(jax.random.PRNGKey(1), n_views))
+    proj = projector.project_pixels_3d(vf, rots, col, row, pf=pf)
+    state = reconstructor.empty_state(n, pf=pf)
+    ctf = jnp.ones_like(proj.real)
+    w = jnp.ones((n_views,))
+    for s in range(0, n_views, 64):
+        state = reconstructor.insert_pixels_3d(
+            state, proj[s : s + 64], ctf[s : s + 64], rots[s : s + 64],
+            col, row, w[s : s + 64], pf=pf, pixel_mask=pm,
+        )
+    out = reconstructor.reconstruct(
+        state["F"], state["T"], jnp.ones((n // 2,)), n, pf=pf, max_radius=max_r
+    )
+    from thunder_tpu.ops import spectrum
+
+    fsc_curve = np.asarray(
+        spectrum.frc_fsc(fft.fft3_center(out), fft.fft3_center(vol), n // 2, 3)
+    )
+    assert np.all(fsc_curve[1 : max_r - 1] > 0.9), fsc_curve

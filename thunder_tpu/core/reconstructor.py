@@ -1,0 +1,252 @@
+"""Gridding back-projection / direct Fourier inversion reconstruction.
+
+TPU-native equivalent of the reference Reconstructor
+(include/Reconstructor.h:57-783, src/Reconstructor.cpp) and of the CUDA
+InsertFT/CalculateT/W/C/F pipeline (gpu/src/cuthunder.cu:4115-8619). The C++
+class + MPI/NCCL machinery collapses into a pytree state + pure functions;
+the hemisphere allreduce becomes a ``psum`` hook (parallel.collectives).
+
+Algorithm contract (matching the active reference config,
+include/Config.h:95-117 — trilinear kernel, T accumulated during insert,
+CHECK_C_MAX, Wiener-FSC without FREQ_AVG, normalize T/F by T's DC):
+
+1. insert: for each (image pixel, pose, weight w): scatter-add
+   value * CTF * w into F and CTF^2 * w into T at R @ (i pf, j pf, 0) with
+   trilinear weights, plus the Hermitian mirror (src/Reconstructor.cpp:
+   insertP:569-928). Translation offsets accumulate into (ox, oy, n) for
+   re-centring (allReduceO :2455-2520).
+2. allreduce F/T/O over the data axis (replaces MPI_Allreduce_Large over
+   the hemisphere communicator, :2350-2486).
+3. symmetrize F and T: add Fourier-rotated copies over the point group
+   (:2676-2692).
+4. normalize: sf = 1 / Re T[DC]; F *= sf; T *= sf (:2455-2486).
+5. Wiener-FSC MAP: T /= clamp(FSC(u/pf), 1e-3, 1-1e-3) (Cref'd when
+   joining halves) for shells in [5 pf, maxR pf) (:1129-1280).
+6. C-balance: W = 1 in-radius; repeat <= 30: C = T * W; C <- FT(IFT(C) *
+   mkb_rl taper); W /= max(|C|, 1e-6); stop when max||C|-1| < 1e-2 or no
+   decrease (:1330-1560, convoluteC :2595-2674, checkC :2522).
+7. F *= W; IFT; extract central n-box (1/pf); divide by tik_rl grid
+   correction (:1590-1835).
+
+``max_radius`` defaults to n/2 - ceil(a) like the reference
+(src/Reconstructor.cpp:89 with blob a = 1.9).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import complex_dtype, real_dtype
+from ..ops.fft import fft2_center, fft3_center, ifft2_center, ifft3_center
+from ..ops.interp import linear_gather, linear_scatter_add
+from ..ops.kernels import mkb_rl, tik_rl
+from ..ops.spectrum import shell_average
+
+# include/Reconstructor.h:61-75
+MIN_N_ITER_BALANCE = 10
+MAX_N_ITER_BALANCE = 30
+DIFF_C_THRES = 1e-2
+DIFF_C_DECREASE_THRES = 0.95
+N_DIFF_C_NO_DECREASE = 2
+WIENER_FACTOR_MIN_R = 5
+FSC_BASE_L = 1e-3
+FSC_BASE_H = 1 - 1e-3
+
+DEFAULT_BLOB_A = 1.9  # script/demo.json "MKB Radius"
+DEFAULT_BLOB_ALPHA = 15.0
+
+
+def empty_state(size, pf=2, mode="3d"):
+    """F (complex) and T (real) padded accumulators + recentring offsets."""
+    m = size * pf
+    shape = (m, m, m) if mode == "3d" else (m, m)
+    return {
+        "F": jnp.zeros(shape, dtype=complex_dtype),
+        "T": jnp.zeros(shape, dtype=real_dtype),
+        "ox": jnp.zeros((), real_dtype),
+        "oy": jnp.zeros((), real_dtype),
+        "counter": jnp.zeros((), real_dtype),
+    }
+
+
+def insert_pixels_3d(state, values, ctf, rot, col, row, w, pf=2, pixel_mask=None):
+    """Scatter one batch of pose-weighted image pixels.
+
+    values: (B, P) complex pixel values (image spectrum, ring set)
+    ctf:    (B, P) real CTF at those pixels
+    rot:    (B, 3, 3) pose rotations
+    col/row:(P,) signed integer frequencies
+    w:      (B,) insertion weights
+    """
+    plane = jnp.stack(
+        [col.astype(jnp.float32) * pf, row.astype(jnp.float32) * pf,
+         jnp.zeros_like(col, dtype=jnp.float32)],
+        axis=-1,
+    )
+    coords = jnp.einsum("bij,pj->bpi", rot.astype(jnp.float32), plane)
+    coords = coords[..., ::-1]  # (x,y,z) -> array (z,y,x)
+
+    wv = w[:, None].astype(real_dtype)
+    if pixel_mask is not None:
+        wv = wv * pixel_mask[None, :]
+    fv = values * ctf * wv
+    tv = (ctf**2) * wv
+
+    f = state["F"]
+    t = state["T"]
+    # Hermitian pair: value at c, conjugate at -c (the ring set only covers
+    # the col >= 0 half plane, matching the reference's half-spectrum store)
+    f = linear_scatter_add(f, coords, fv)
+    f = linear_scatter_add(f, -coords, jnp.conj(fv))
+    t = linear_scatter_add(t, coords, tv)
+    t = linear_scatter_add(t, -coords, tv)
+    return {**state, "F": f, "T": t}
+
+
+def insert_offsets(state, tx, ty, w):
+    """Accumulate translation offsets for re-centring (allReduceO)."""
+    return {
+        **state,
+        "ox": state["ox"] + jnp.sum(tx * w),
+        "oy": state["oy"] + jnp.sum(ty * w),
+        "counter": state["counter"] + jnp.sum(w),
+    }
+
+
+def symmetrize(state, sym_rots, max_radius, pf=2):
+    """F(k) <- sum_g F(g k) over the point group including identity
+    (src/Reconstructor.cpp:2676-2692 SYMMETRIZE_FT, LINEAR_INTERP).
+
+    sym_rots: (G, 3, 3) WITHOUT identity. No-op when G = 0."""
+    if sym_rots.shape[0] == 0:
+        return state
+    f = state["F"]
+    t = state["T"]
+    m = f.shape[-1]
+    idx = jnp.arange(m, dtype=jnp.float32) - m // 2
+    zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    coords = jnp.stack([xx, yy, zz], axis=-1)  # (m,m,m,3) as (x,y,z)
+    r2 = xx**2 + yy**2 + zz**2
+    mask = r2 < float(max_radius * pf + 1) ** 2
+
+    f_acc, t_acc = f, t
+    for g in range(sym_rots.shape[0]):
+        rot = sym_rots[g].astype(jnp.float32)
+        rc = jnp.einsum("ij,...j->...i", rot, coords)[..., ::-1]
+        f_acc = f_acc + jnp.where(mask, linear_gather(f, rc), 0.0)
+        t_acc = t_acc + jnp.where(mask, linear_gather(t, rc), 0.0)
+    return {**state, "F": f_acc, "T": t_acc}
+
+
+def _radius_sq_grid(m, dims):
+    idx = jnp.arange(m, dtype=jnp.float32) - m // 2
+    grids = []
+    for ax in range(dims):
+        s = [1] * dims
+        s[ax] = m
+        grids.append(idx.reshape(s))
+    return sum(g**2 for g in grids)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "max_radius", "grid_corr",
+                                   "map_wiener", "join_half", "dims"))
+def reconstruct(
+    f,
+    t,
+    fsc,
+    size,
+    pf=2,
+    max_radius=None,
+    grid_corr=True,
+    map_wiener=True,
+    join_half=False,
+    blob_a=DEFAULT_BLOB_A,
+    blob_alpha=DEFAULT_BLOB_ALPHA,
+    dims=3,
+):
+    """Full reconstruction: padded (F, T) + per-shell FSC -> real n-box map.
+
+    fsc: (size/2,) shell FSC for the MAP term (pass ones to disable damping).
+    """
+    if max_radius is None:
+        max_radius = size // 2 - 2  # ceil(1.9)
+    m = size * pf
+    r2 = _radius_sq_grid(m, dims)
+    in_rad = r2 < float(max_radius * pf) ** 2
+    fftc = fft3_center if dims == 3 else fft2_center
+    ifftc = ifft3_center if dims == 3 else ifft2_center
+
+    # 4. normalize F/T by T's DC (RECONSTRUCTOR_NORMALISE_T_F)
+    dc = t[(m // 2,) * dims]
+    sf = 1.0 / jnp.maximum(dc, 1e-30)
+    f = f * sf
+    t = t * sf
+
+    # 5. Wiener MAP with FSC
+    if map_wiener:
+        u = jnp.rint(jnp.sqrt(r2)).astype(jnp.int32)
+        shell = jnp.clip(u // pf, 0, fsc.shape[0] - 1)
+        fsc_px = jnp.where(u // pf >= fsc.shape[0], 0.0, fsc[shell])
+        fsc_px = jnp.clip(fsc_px, FSC_BASE_L, FSC_BASE_H)
+        if join_half:
+            fsc_px = jnp.sqrt(2 * fsc_px / (1 + fsc_px))
+        wien = (r2 >= float(WIENER_FACTOR_MIN_R * pf) ** 2) & in_rad
+        t = jnp.where(wien, t / fsc_px, t)
+
+    t = jnp.maximum(t, 1e-25)
+    w = jnp.where(in_rad, 1.0, 0.0).astype(real_dtype)
+
+    if grid_corr:
+        # 6. C-balance iteration; taper = mkb_rl profile (the reference's
+        # _kernelRL tab is always MKB, src/Reconstructor.cpp:77-88)
+        taper_r = jnp.sqrt(_radius_sq_grid(m, dims)) / m
+        nf = mkb_rl(jnp.zeros(()), blob_a * pf, blob_alpha)
+        taper = (mkb_rl(taper_r, blob_a * pf, blob_alpha) / nf).astype(real_dtype)
+
+        def body(carry):
+            w, diff_c, diff_c_prev, n_no_dec, it = carry
+            c = (t * w).astype(complex_dtype)
+            c_rl = ifftc(c)
+            c = fftc(c_rl * taper)
+            c_abs = jnp.abs(c)
+            w = jnp.where(in_rad, w / jnp.maximum(c_abs, 1e-6), w)
+            new_diff = jnp.max(jnp.where(in_rad, jnp.abs(c_abs - 1.0), 0.0))
+            n_no_dec = jnp.where(
+                new_diff > diff_c * DIFF_C_DECREASE_THRES, n_no_dec + 1, 0
+            )
+            return w, new_diff, diff_c, n_no_dec, it + 1
+
+        def cond(carry):
+            _, diff_c, _, n_no_dec, it = carry
+            not_done = (diff_c >= DIFF_C_THRES) & (
+                (it < MIN_N_ITER_BALANCE) | (n_no_dec < N_DIFF_C_NO_DECREASE)
+            )
+            return (it < MAX_N_ITER_BALANCE) & not_done
+
+        big = jnp.asarray(jnp.finfo(real_dtype).max, real_dtype)
+        w, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (w, big, big, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        )
+    else:
+        w = jnp.where(in_rad, 1.0 / jnp.maximum(jnp.abs(t), 1e-6), 0.0)
+
+    # 7. F * W, inverse FFT, extract, grid-correct
+    fw = jnp.where(in_rad, f * w, 0.0)
+    # jnp ifft normalizes by 1/m^dims, same as the reference's backward FFT
+    pad_rl = ifftc(fw).real
+    lo = m // 2 - size // 2
+    sl = tuple(slice(lo, lo + size) for _ in range(dims))
+    out = pad_rl[sl]
+
+    # divide by the trilinear kernel's real-space taper over the n-box
+    idx = jnp.arange(size, dtype=jnp.float32) - size // 2
+    grids = []
+    for ax in range(dims):
+        s = [1] * dims
+        s[ax] = size
+        grids.append(idx.reshape(s))
+    r_rl = jnp.sqrt(sum(g**2 for g in grids)) / (pf * size)
+    out = out / tik_rl(r_rl)
+    return out
