@@ -76,7 +76,8 @@ def refined():
         mode="3d", k=1, size=n, pixel_size=1.32,
         mask_radius=n * 1.32 / 2.2, trans_s=2.0,
         init_res=6.5, global_search_res=3.4, sym="C1",
-        m_s=1500, trans_search_factor=0.25, l_search=False,
+        m_s=800, m_l_r=64, m_l_t=9, m_reco=8,
+        trans_search_factor=0.25, l_search=True,
         pf=2, seed=5,
     )
     opt = Optimiser(para)
@@ -85,17 +86,17 @@ def refined():
     # to the initial resolution inside init_reference)
     opt.init_reference(vol=vol)
     opt.init_sigma()
-    history = opt.run(max_iter=4)
+    history = opt.run(max_iter=3)
     return vol, opt, history, quats
 
 
 def test_resolution_improves(refined):
     vol, opt, history, _ = refined
     assert len(history) >= 2
-    # phase-A (global scan) precision is bounded by the rotation grid
-    # (~17 deg at 1500 points), capping resolution around shell 6-7 on a
-    # 32-box; the local particle filter (phase B) pushes past this
-    assert all(h["res_shell"] >= 5 for h in history), history
+    # with the particle filter the pose precision beats the scan grid and
+    # the golden-standard resolution reaches shell 7+ on this dataset
+    assert all(h["res_shell"] >= 6 for h in history), history
+    assert max(h["res_shell"] for h in history) >= 7, history
 
 
 def test_map_correlates_with_phantom(refined):
@@ -106,7 +107,7 @@ def test_map_correlates_with_phantom(refined):
     n = vol.shape[0]
     fsc = np.asarray(spectrum.frc_fsc(jnp.asarray(a), jnp.asarray(b), n // 2, 3))
     # high fidelity at low-mid frequency vs ground truth
-    assert np.all(fsc[1:6] > 0.75), fsc
+    assert np.all(fsc[1:8] > 0.6), fsc
 
 
 def test_rotations_recovered(refined):
@@ -117,6 +118,5 @@ def test_rotations_recovered(refined):
     # angular error between quaternions: theta = 2 arccos(|<q1, q2>|)
     dots = np.abs(np.sum(q_est * quats_true, axis=1))
     ang = 2 * np.degrees(np.arccos(np.clip(dots, -1, 1)))
-    # with 600 scan points the grid spacing is ~20 deg; most images should be
-    # well under 30 deg after refinement iterations
-    assert np.median(ang) < 30.0, np.percentile(ang, [25, 50, 75, 90])
+    # the local particle filter refines well below the ~20 deg scan grid
+    assert np.median(ang) < 15.0, np.percentile(ang, [25, 50, 75, 90])

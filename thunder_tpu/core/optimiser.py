@@ -15,6 +15,7 @@ core.particle (next build step).
 """
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 
@@ -30,7 +31,7 @@ from ..ops import fft as fft_ops
 from ..ops import likelihood, pixels, spectrum
 from ..ops.mask import soft_mask_shape
 from ..ops.translate import translation_phase
-from . import projector, reconstructor, sampling
+from . import particle, projector, reconstructor, sampling
 
 # search types (include/Optimiser.h / Model.h)
 SEARCH_TYPE_GLOBAL = 0
@@ -136,6 +137,73 @@ class LadderState:
         return min(self.r + int(round(self.max_r / 3)), self.max_r)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ctf_search", "n", "pf", "k_classes", "pixel_size",
+        "perturb_d_factor", "perturb_d_on",
+    ),
+)
+def _local_phase_step(key, st, vols, cls, dat, c_px, sig_rcp, col, row,
+                      pmask, active, factor, ctf_params,
+                      *, ctf_search, n, pf, k_classes, pixel_size,
+                      perturb_d_factor, perturb_d_on):
+    """One particle-filter phase, fully jitted: perturb -> project ->
+    factored likelihood -> posterior update, with per-image active masking
+    (frozen images pass through unchanged). Returns (new_state, shrank)."""
+    kp, kt2, kd2, ku = jax.random.split(key, 4)
+
+    r_new = particle.perturb_r(kp, st["r"], st["k1"], st["k2"], st["k3"],
+                               pf=factor)
+    t_new = particle.perturb_t(kt2, st["t"], st["s0"], st["s1"], pf=factor)
+    st = {
+        **st,
+        "r": jnp.where(active[:, None, None], r_new, st["r"]),
+        "t": jnp.where(active[:, None, None], t_new, st["t"]),
+    }
+    if perturb_d_on:
+        d_new = particle.perturb_d(kd2, st["d"], st["sD"], pf=perturb_d_factor)
+        st["d"] = jnp.where(active[:, None], d_new, st["d"])
+
+    rots = quat.rotate3d(st["r"])  # (B, mLR, 3, 3)
+    proj = None
+    for k in range(k_classes):
+        p_k = projector.project_pixels_3d(vols[k], rots, col, row, pf=pf)
+        proj = p_k if proj is None else jnp.where(
+            (cls == k)[:, None, None], p_k, proj
+        )
+    tra = translation_phase(col, row, st["t"][..., 0], st["t"][..., 1], n)
+    ctf_d = None
+    if ctf_search:
+        ctf_d = ctf_ops.ctf_pixels(
+            col, row, n, pixel_size,
+            ctf_params["voltage"][:, None], ctf_params["defocus_u"][:, None],
+            ctf_params["defocus_v"][:, None],
+            ctf_params["defocus_theta"][:, None],
+            ctf_params["cs"][:, None], ctf_params["amp_contrast"][:, None],
+            ctf_params.get(
+                "phase_shift", jnp.zeros_like(ctf_params["voltage"])
+            )[:, None],
+            defocus_factor=st["d"],
+        )
+    u_r, u_t, u_d = likelihood.local_search_weights(
+        dat, c_px, sig_rcp, proj, tra, st["wR"], st["wT"], st["wD"],
+        ctf_d=ctf_d, pixel_mask=pmask,
+    )
+    new_st = particle.update_from_likelihood(
+        st, ku, u_r, u_t, u_d,
+        peak_factor_r=particle.PEAK_FACTOR_MIN,
+        with_d=ctf_search,
+    )
+    prev_vari = {k: st[k] for k in ("k1", "k2", "k3", "s0", "s1", "sD")}
+    out = {
+        k: jnp.where(active.reshape((-1,) + (1,) * (v.ndim - 1)), v, st[k])
+        for k, v in new_st.items()
+    }
+    shrank = particle.vari_shrank(out, prev_vari)
+    return out, shrank
+
+
 class Optimiser:
     """Single-host driver. Data arrives either from para.db (a .thu file +
     MRC stacks) or as in-memory arrays via ``set_data``."""
@@ -192,6 +260,13 @@ class Optimiser:
                                  (self.n_imgs, 1))
         self.best_trans = np.zeros((self.n_imgs, 2), np.float32)
         self.best_phi = np.zeros(self.n_imgs, np.float32)  # 2D mode
+        self.best_defocus = np.ones(self.n_imgs, np.float32)
+        self.scores = np.ones(self.n_imgs, np.float32)
+        # the particle filter state over ALL images (persists across
+        # iterations, like the reference's _par vector)
+        self.par = particle.make_state(
+            self.n_imgs, self.para.m_l_r, self.para.m_l_t, self.para.m_l_d
+        )
 
     def _preprocess(self, imgs):
         """statImg + substractBgImg + normaliseImg + maskImg
@@ -263,7 +338,15 @@ class Optimiser:
         return dat, c, sig_rcp
 
     def expectation(self):
-        """Global scan (phase A) for every image, per hemisphere."""
+        """E-step: global scan (phase A, GLOBAL search only) seeding the
+        particle filter, then the phase-B local refinement. Returns the
+        average translation posterior stddevs for the ladder."""
+        if self.ladder.search_type == SEARCH_TYPE_GLOBAL:
+            self.global_scan()
+        return self.local_search()
+
+    def global_scan(self):
+        """Phase A: dense pose scan for every image, per hemisphere."""
         para = self.para
         ring = self._ring()
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
@@ -275,6 +358,10 @@ class Optimiser:
         if para.mode == "2d":
             phis = sampling.sample_rotations_2d(kr, n_r)
             rots2 = quat.rotate2d(phis)
+            quats = jnp.stack(
+                [jnp.cos(phis / 2), jnp.zeros_like(phis), jnp.zeros_like(phis),
+                 jnp.sin(phis / 2)], axis=-1,
+            )
         else:
             quats = sampling.sample_rotations_3d(
                 kr, n_r, self.sym.quat if self.sym.n_elements else None
@@ -283,7 +370,6 @@ class Optimiser:
         trans = sampling.sample_translations(kt, n_t, para.trans_s)
         tra = translation_phase(col, row, trans[:, 0], trans[:, 1], self.n)
 
-        t_vari = []
         for h in (0, 1):
             idx = np.nonzero(self.halves == h)[0]
             if len(idx) == 0:
@@ -315,24 +401,91 @@ class Optimiser:
                 wc = np.asarray(out["wC"])
                 wr = np.asarray(out["wR"])
                 wt = np.asarray(out["wT"])
+                # class posterior: peak-clip + argmax (reference resamples
+                # the class; argmax is its K-small limit)
                 cls = np.argmax(wc, axis=1)
                 self.best_class[sub] = cls
-                r_best = np.argmax(wr[np.arange(len(sub)), cls], axis=1)
-                t_best = np.argmax(wt[np.arange(len(sub)), cls], axis=1)
-                if para.mode == "2d":
-                    self.best_phi[sub] = np.asarray(phis)[r_best]
-                else:
-                    self.best_quat[sub] = np.asarray(quats)[r_best]
-                self.best_trans[sub] = np.asarray(trans)[t_best]
-                # translation posterior variance for the ladder (refreshVariance)
-                wt_n = wt[np.arange(len(sub)), cls]
-                wt_n = wt_n / np.maximum(wt_n.sum(axis=1, keepdims=True), 1e-30)
-                mean_t = wt_n @ np.asarray(trans)
-                d = np.asarray(trans)[None] - mean_t[:, None]
-                var = np.einsum("bt,btj->bj", wt_n, d**2)
-                t_vari.append(np.sqrt(np.maximum(var, 0)))
+                # seed the per-image particle filter from the scan marginals
+                self.key, kinit = jax.random.split(self.key)
+                sub_j = jnp.asarray(sub)
+                st = particle.init_from_scan(
+                    kinit,
+                    jnp.asarray(wr[np.arange(len(sub)), cls]),
+                    jnp.asarray(wt[np.arange(len(sub)), cls]),
+                    quats, trans, para.m_l_r, para.m_l_t, para.m_l_d,
+                    peak_factor_r=0.0, peak_factor_t=0.0,
+                )
+                for field in self.par:
+                    self.par[field] = self.par[field].at[sub_j].set(st[field])
+
+    def _class_projectees(self, h):
+        para = self.para
+        vols = []
+        for k in range(para.k):
+            vols.append(projector.build_projectee_3d(self.refs[h, k], pf=para.pf))
+        return jnp.stack(vols)  # (K, m, m, m)
+
+    def local_search(self):
+        """Phase-B particle-filter refinement for every image
+        (src/Optimiser.cpp:1138-1660): perturb -> evaluate -> update until
+        the per-image variances stop shrinking."""
+        para = self.para
+        ring = self._ring()
+        col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
+        pmask = jnp.asarray(ring.mask)
+        st_type = self.ladder.search_type
+        min_phase = (particle.MIN_N_PHASE_PER_ITER_GLOBAL
+                     if st_type == SEARCH_TYPE_GLOBAL
+                     else particle.MIN_N_PHASE_PER_ITER_LOCAL)
+        perturb_s = (para.perturb_factor_s_global
+                     if st_type == SEARCH_TYPE_GLOBAL
+                     else para.perturb_factor_s_local)
+        ctf_search = st_type == SEARCH_TYPE_CTF
+
+        t_vari = []
+        for h in (0, 1):
+            idx = np.nonzero(self.halves == h)[0]
+            if len(idx) == 0:
+                continue
+            vols = self._class_projectees(h)
+            dat, c_px, sig_rcp = self._gather_ring_data(ring, idx)
+            sub_j = jnp.asarray(idx)
+            st = {k: v[sub_j] for k, v in self.par.items()}
+            cls = jnp.asarray(self.best_class[idx])
+
+            cp_sub = {k: v[sub_j] for k, v in self.ctf_params.items()}
+            done = np.zeros(len(idx), bool)
+            no_dec = np.zeros(len(idx), np.int32)
+            for phase in range(particle.MAX_N_PHASE_PER_ITER):
+                self.key, kphase = jax.random.split(self.key)
+                factor = para.perturb_factor_l if phase == 0 else perturb_s
+                st, shrank = _local_phase_step(
+                    kphase, st, vols, cls, dat, c_px, sig_rcp, col, row,
+                    pmask, jnp.asarray(~done), jnp.asarray(factor, real_dtype),
+                    cp_sub,
+                    ctf_search=ctf_search, n=self.n, pf=para.pf,
+                    k_classes=para.k, pixel_size=para.pixel_size,
+                    perturb_d_factor=para.perturb_factor_s_ctf,
+                    perturb_d_on=ctf_search and phase > 0,
+                )
+                if phase >= min_phase:
+                    shrank_np = np.asarray(shrank)
+                    no_dec = np.where(shrank_np, 0, no_dec + 1)
+                    done |= no_dec >= particle.N_PHASE_WITH_NO_VARI_DECREASE
+                    if done.all():
+                        break
+
+            for field in self.par:
+                self.par[field] = self.par[field].at[sub_j].set(st[field])
+            self.best_quat[idx] = np.asarray(st["topR"])
+            self.best_trans[idx] = np.asarray(st["topT"])
+            self.best_defocus[idx] = np.asarray(st["topD"])
+            self.scores[idx] = np.asarray(particle.compress_r(st))
+            t_vari.append(np.stack(
+                [np.asarray(st["s0"]), np.asarray(st["s1"])], axis=-1))
         tv = np.concatenate(t_vari, axis=0).mean(axis=0)
         return float(tv[0]), float(tv[1])
+
 
     # ---------------------------------------------------------- maximization
 
@@ -419,18 +572,40 @@ class Optimiser:
                 )
                 if len(idx):
                     dat, c, _ = self._gather_ring_data(ring, idx)
-                    # un-translate observed pixels (reconstructRef translates
-                    # by -t before insertP)
-                    t = jnp.asarray(self.best_trans[idx])
-                    tra = translation_phase(col, row, -t[:, 0], -t[:, 1], self.n)
-                    dat = dat * tra
-                    rots = self._rot_matrices(idx)
-                    w = jnp.ones((len(idx),))
+                    sub_j = jnp.asarray(idx)
+                    # insert m_reco poses drawn from each image's particle
+                    # filter (Optimiser::reconstructRef draws mReco support
+                    # points, src/Optimiser.cpp:6711+), weighted by the
+                    # particle grade when enabled (parGra / compressR)
+                    n_draw = min(para.m_reco, para.m_l_r)
+                    w_img = (jnp.asarray(self.scores[idx])
+                             if para.par_gra else jnp.ones(len(idx)))
+                    w_img = w_img / n_draw
+                    par_r = self.par["r"][sub_j]      # (B, mLR, 4)
+                    par_t = self.par["t"][sub_j]      # (B, mLT, 2)
+                    n_t_sup = par_t.shape[1]
+                    b_img = len(idx)
+                    self.key, kd = jax.random.split(self.key)
+                    # support points post-resample are uniform-weighted:
+                    # a uniform index draw IS a posterior draw
+                    ri = jax.random.randint(kd, (b_img, n_draw), 0, par_r.shape[1])
+                    ti = jax.random.randint(
+                        jax.random.fold_in(kd, 1), (b_img, n_draw), 0, n_t_sup)
+                    q_d = jnp.take_along_axis(par_r, ri[..., None], axis=1)
+                    t_d = jnp.take_along_axis(par_t, ti[..., None], axis=1)
+                    rots_all = quat.rotate3d(q_d).reshape(b_img * n_draw, 3, 3)
+                    # flatten draws into the batch axis and chunk-insert
                     bs = 256
-                    for s in range(0, len(idx), bs):
+                    for s in range(0, b_img * n_draw, bs):
+                        img_i = jnp.arange(s, min(s + bs, b_img * n_draw)) // n_draw
+                        sl = slice(s, min(s + bs, b_img * n_draw))
+                        t_sl = t_d.reshape(b_img * n_draw, 2)[sl]
+                        tra = translation_phase(
+                            col, row, -t_sl[:, 0], -t_sl[:, 1], self.n)
                         state = reconstructor.insert_pixels_3d(
-                            state, dat[s:s+bs], c[s:s+bs], rots[s:s+bs],
-                            col, row, w[s:s+bs], pf=para.pf, pixel_mask=pmask,
+                            state, dat[img_i] * tra, c[img_i], rots_all[sl],
+                            col, row, w_img[img_i], pf=para.pf,
+                            pixel_mask=pmask,
                         )
                 if self.sym.n_elements:
                     state = reconstructor.symmetrize(

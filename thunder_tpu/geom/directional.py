@@ -70,9 +70,14 @@ def infer_acg(q, w=None, n_iter=ACG_FIXED_POINT_ITERS):
     outer = q[:, :, None] * q[:, None, :]  # (n, 4, 4)
 
     def body(_, a):
-        inv = jnp.linalg.inv(a)
-        u = jnp.einsum("ni,ij,nj->n", q, inv, q)
-        u = jnp.maximum(u, 1e-12)
+        # trace-relative ridge keeps the iteration well-conditioned in f32
+        # when the support collapses toward a single point (rank-1 scatter —
+        # a fully-converged filter); the bias is far below the filter's
+        # minimum-concentration floors
+        ridge = 1e-4 * (jnp.trace(a) / 4.0) * jnp.eye(4, dtype=a.dtype)
+        sol = jnp.linalg.solve(a + ridge, q.T)  # (4, n)
+        u = jnp.einsum("ni,in->n", q, sol)
+        u = jnp.maximum(u, 1e-8)
         b = jnp.einsum("n,nij->ij", w / u, outer)
         nf = jnp.sum(w / u)
         return 4.0 * b / jnp.maximum(nf, 1e-30)

@@ -129,3 +129,55 @@ def global_search_weights(dat, ctf, sig_rcp, proj, tra, prior_r=None, prior_t=No
     wt_cols = wt_cols * rescale[:, :, None]
     wt = jnp.moveaxis(wt_cols, 0, -1)  # (B, K, T)
     return {"wC": wc, "wR": wr, "wT": wt, "baseline": base}
+
+
+def local_search_weights(dat, ctf, sig_rcp, proj, tra, w_r, w_t, w_d=None,
+                         ctf_d=None, pixel_mask=None):
+    """Per-image local-search posterior marginals — one particle-filter
+    phase's evaluation (src/Optimiser.cpp:1294-1402).
+
+    dat/sig_rcp: (B, P); ctf: (B, P) — used when ctf_d is None
+    proj: (B, R, P) per-image projections at the support rotations
+    tra:  (B, T, P) per-image translation phase ramps
+    w_r/(B, R), w_t/(B, T), w_d/(B, D): current support weights
+    ctf_d: (B, D, P) per-defocus-point CTF (CTF search mode)
+    Returns u_r (B, R), u_t (B, T), u_d (B, D or 1).
+
+    Same factorization as the global scan; the per-image baseline is the max
+    over the full (R, T, D) block (exact log-sum-exp, no streaming needed at
+    these sizes: R*T*D ~ 10^4).
+    """
+    pm = 1.0 if pixel_mask is None else pixel_mask
+    if ctf_d is None:
+        ctf_d = ctf[:, None, :]  # D = 1
+    d_ax = ctf_d.shape[1]
+    b = dat.shape[0]
+    if w_d is None:
+        w_d = jnp.full((b, d_ax), 1.0 / d_ax, dtype=real_dtype)
+
+    # Q[b,d,p] = -2 sr ctf_d conj(dat); E[b,d,p] = sr ctf_d^2
+    q = (-2.0 * sig_rcp[:, None, :] * ctf_d * pm) * jnp.conj(dat)[:, None, :]
+    e = sig_rcp[:, None, :] * ctf_d**2 * pm
+
+    # term2[b,d,r] = sum_p E |proj|^2
+    p2 = jnp.abs(proj) ** 2
+    term2 = jnp.einsum("bdp,brp->bdr", e, p2, preferred_element_type=jnp.float32)
+    # term1[b,d,r,t] = Re sum_p Q T_t P_r
+    qt_r = jnp.einsum("bdp,btp->bdtp", q.real, tra.real) - jnp.einsum(
+        "bdp,btp->bdtp", q.imag, tra.imag
+    )
+    qt_i = jnp.einsum("bdp,btp->bdtp", q.real, tra.imag) + jnp.einsum(
+        "bdp,btp->bdtp", q.imag, tra.real
+    )
+    term1 = jnp.einsum(
+        "bdtp,brp->bdrt", qt_r, proj.real, preferred_element_type=jnp.float32
+    ) - jnp.einsum(
+        "bdtp,brp->bdrt", qt_i, proj.imag, preferred_element_type=jnp.float32
+    )
+    log_l = term1 + term2[..., None]  # (B, D, R, T)
+    base = jnp.max(log_l, axis=(1, 2, 3), keepdims=True)
+    w = jnp.exp(log_l - base)
+    u_r = jnp.einsum("bdrt,bd,bt->br", w, w_d, w_t)
+    u_t = jnp.einsum("bdrt,bd,br->bt", w, w_d, w_r)
+    u_d = jnp.einsum("bdrt,br,bt->bd", w, w_r, w_t)
+    return u_r, u_t, u_d
