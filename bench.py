@@ -67,15 +67,17 @@ def main():
             state, imgs * jnp.conj(tra[best_t]), ctf, rots[best_r], col, row,
             jnp.ones(imgs.shape[0], real_dtype), pf=pf, pixel_mask=pmask,
         )
-        return state["F"].sum(), out["baseline"]
+        # real-valued output: the remote TPU backend cannot transfer
+        # complex64 to host, and a host transfer is the only reliable sync
+        return jnp.abs(state["F"]).sum() + out["baseline"].sum()
 
     args = (vol, imgs, ctf, sig_rcp, rots, tra, col, row, pmask)
-    # warmup/compile
-    jax.block_until_ready(refine_step(*args))
+    # warmup/compile; float() forces a device->host sync
+    float(refine_step(*args))
     n_steps = 5
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        jax.block_until_ready(refine_step(*args))
+        float(refine_step(*args))
     dt = (time.perf_counter() - t0) / n_steps
 
     particles_per_sec = n_imgs / dt

@@ -1,0 +1,95 @@
+"""CLI toolchain: project -> reconstruct round trip, postprocess, filters,
+and STAR interop, all through the command-line entry points."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from thunder_tpu.cli.main import main as cli
+from thunder_tpu.io import read_mrc, write_mrc
+from thunder_tpu.io.thu import make_table, read_thu, write_thu
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    n = 32
+    g = np.mgrid[:n, :n, :n] - n // 2
+    blob = lambda c, s: np.exp(
+        -((g[0] - c[0]) ** 2 + (g[1] - c[1]) ** 2 + (g[2] - c[2]) ** 2) / (2 * s**2)
+    )
+    v = (blob((0, 4, 2), 2.5) + 0.8 * blob((3, -4, -2), 2.0)).astype(np.float32)
+    write_mrc(str(d / "phantom.mrc"), v, voxel_size=1.32)
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(48, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = make_table(
+        48,
+        particle_paths=[f"{i+1}@{d}/stack.mrcs" for i in range(48)],
+        quat_0=q[:, 0], quat_1=q[:, 1], quat_2=q[:, 2], quat_3=q[:, 3],
+        translation_x=rng.normal(0, 1, 48), translation_y=rng.normal(0, 1, 48),
+    )
+    write_thu(str(d / "poses.thu"), t)
+    return d, v
+
+
+def test_project_reconstruct_roundtrip(workdir):
+    d, vol = workdir
+    cli(["project", str(d / "phantom.mrc"), str(d / "poses.thu"),
+         str(d / "stack.mrcs"), "--pixel-size", "1.32"])
+    cli(["reconstruct", str(d / "poses.thu"), str(d / "recon.mrc"),
+         "--pixel-size", "1.32"])
+    rec = read_mrc(str(d / "recon.mrc"))
+    from thunder_tpu.ops import fft, spectrum
+
+    fsc = np.asarray(
+        spectrum.frc_fsc(
+            fft.fft3_center(jnp.asarray(vol)), fft.fft3_center(jnp.asarray(rec)),
+            16, 3,
+        )
+    )
+    assert np.all(fsc[1:8] > 0.8), fsc
+
+
+def test_postprocess_cli(workdir):
+    d, _ = workdir
+    cli(["genmask", str(d / "phantom.mrc"), str(d / "mask.mrc")])
+    cli(["postprocess", str(d / "phantom.mrc"), str(d / "recon.mrc"),
+         str(d / "post.mrc"), "--mask", str(d / "mask.mrc"),
+         "--fsc", str(d / "fsc.txt")])
+    lines = open(d / "fsc.txt").read().splitlines()
+    assert len(lines) == 16
+    assert read_mrc(str(d / "post.mrc")).shape == (32, 32, 32)
+
+
+def test_filters_cli(workdir):
+    d, _ = workdir
+    cli(["lowpass", str(d / "phantom.mrc"), str(d / "lp.mrc"),
+         "--resolution", "5"])
+    cli(["resize", str(d / "phantom.mrc"), str(d / "big.mrc"), "--size", "48"])
+    assert read_mrc(str(d / "big.mrc")).shape == (48, 48, 48)
+    cli(["bfactor", str(d / "phantom.mrc"), str(d / "bf.mrc"),
+         "--bfactor", "200"])
+    cli(["minus", str(d / "phantom.mrc"), str(d / "lp.mrc"), str(d / "hi.mrc")])
+    # lowpass + its complement reconstruct the original
+    lp = read_mrc(str(d / "lp.mrc"))
+    hi = read_mrc(str(d / "hi.mrc"))
+    orig = read_mrc(str(d / "phantom.mrc"))
+    np.testing.assert_allclose(lp + hi, orig, atol=1e-5)
+
+
+def test_star_interop(workdir):
+    d, _ = workdir
+    cli(["thu2star", str(d / "poses.thu"), str(d / "poses.star")])
+    cli(["star2thu", str(d / "poses.star"), str(d / "back.thu")])
+    orig = read_thu(str(d / "poses.thu"))
+    back = read_thu(str(d / "back.thu"))
+    assert len(back) == len(orig)
+    from thunder_tpu.io.thu import ThuColumns
+
+    np.testing.assert_allclose(
+        back.col(ThuColumns.VOLTAGE), orig.col(ThuColumns.VOLTAGE), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        back.col(ThuColumns.CS), orig.col(ThuColumns.CS), rtol=1e-5
+    )

@@ -1,0 +1,414 @@
+"""Command-line interface: one binary, subcommands covering the reference's
+thunder main program plus the 13 appsrc utilities and the STAR converters
+(appsrc/thunder*.cpp, script/*.py):
+
+    run          — refinement driven by a THUNDER-schema JSON (thunder.cpp)
+    project      — volume + .thu poses -> particle stack (thunder_project)
+    reconstruct  — .thu poses + stack -> volume (thunder_reconstruct)
+    postprocess  — two half maps + mask -> sharpened map + FSC
+    genmask      — auto mask from a volume (thunder_genmask)
+    lowpass      — low-pass filter a volume
+    bfactor      — apply a B-factor
+    mask         — multiply a volume by a mask
+    average      — average two volumes
+    minus        — subtract two volumes
+    resize       — Fourier crop/pad to a new box
+    alignz       — align a direction to +z (thunder_alignZ)
+    view         — print volume stats / dump central slices
+    star2thu     — RELION STAR -> .thu
+    thu2star     — .thu -> RELION STAR
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _jax_cpu_if_requested(args):
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_run(args):
+    _jax_cpu_if_requested(args)
+    from ..config import load_para
+    from ..core.optimiser import Optimiser
+    from ..data import ParticleDataset
+    from ..io import read_mrc
+
+    para = load_para(args.config)
+    if args.output:
+        para.output_directory = args.output
+    ds = ParticleDataset(para.db, para.par_prefix, seed=para.seed)
+    opt = Optimiser(para)
+    imgs = ds.load_images()
+    opt.set_data(imgs, ds.ctf_params(), group_ids=ds.group_ids,
+                 halves=ds.halves)
+    opt.particle_paths = ds.table.particle_paths
+    opt.micrograph_paths = ds.table.micrograph_paths
+    if not para.g_search:
+        # resume from stored poses (Global Search: false workflow)
+        from ..io.thu import ThuColumns
+
+        q, tr, d, cls = ds.poses()
+        t = ds.table
+        opt.load_poses(
+            q, tr, d, cls,
+            k123=(t.col(ThuColumns.K1), t.col(ThuColumns.K2),
+                  t.col(ThuColumns.K3)),
+            std_t=(t.col(ThuColumns.STD_TRANSLATION_X),
+                   t.col(ThuColumns.STD_TRANSLATION_Y)),
+        )
+    init_vol = read_mrc(para.init_model) if para.init_model else None
+    opt.init_reference(vol=init_vol)
+    opt.init_sigma()
+    history = opt.run()
+    opt.save_outputs(final=True)
+    for rec in history:
+        print(json.dumps(rec))
+
+
+def cmd_project(args):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..core import projector
+    from ..data import ParticleDataset
+    from ..geom import quat
+    from ..io import read_mrc, write_mrc
+    from ..ops import fft as fft_ops
+    from ..ops.translate import translate_ft
+
+    vol = jnp.asarray(read_mrc(args.volume))
+    n = vol.shape[-1]
+    ds = ParticleDataset(args.thu)
+    q, tr, _, _ = ds.poses()
+    vf = projector.build_projectee_3d(vol, pf=args.pf)
+    out = []
+    for s in range(0, ds.n, 256):
+        rots = quat.rotate3d(jnp.asarray(q[s : s + 256]))
+        sl = projector.project_full_3d(vf, rots, n, n // 2 - 1, pf=args.pf)
+        sl = translate_ft(sl, jnp.asarray(tr[s : s + 256, 0]),
+                          jnp.asarray(tr[s : s + 256, 1]))
+        out.append(np.asarray(fft_ops.ifft2_center(sl).real))
+    write_mrc(args.output, np.concatenate(out), voxel_size=args.pixel_size)
+    print(f"wrote {ds.n} projections to {args.output}")
+
+
+def cmd_reconstruct(args):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..core import reconstructor
+    from ..data import ParticleDataset
+    from ..geom import quat
+    from ..io import write_mrc
+    from ..ops import fft as fft_ops, pixels
+    from ..ops.translate import translation_phase
+
+    ds = ParticleDataset(args.thu)
+    imgs = ds.load_images()
+    n = imgs.shape[-1]
+    q, tr, _, _ = ds.poses()
+    ring = pixels.pixel_ring(n, 0, n // 2 - 2)
+    col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
+    pmask = jnp.asarray(ring.mask)
+    imgs_ft = fft_ops.fft2_center(jnp.asarray(imgs))
+    dat = pixels.gather_pixels(imgs_ft, ring)
+    state = reconstructor.empty_state(n, pf=args.pf)
+    for s in range(0, ds.n, 256):
+        sl = slice(s, min(s + 256, ds.n))
+        tra = translation_phase(col, row, -tr[sl, 0], -tr[sl, 1], n)
+        rots = quat.rotate3d(jnp.asarray(q[sl]))
+        state = reconstructor.insert_pixels_3d(
+            state, dat[sl] * tra, jnp.ones_like(dat[sl].real), rots,
+            col, row, jnp.ones(sl.stop - sl.start), pf=args.pf,
+            pixel_mask=pmask,
+        )
+    vol = reconstructor.reconstruct(
+        state["F"], state["T"], jnp.ones((n // 2,)), n, pf=args.pf,
+        max_radius=n // 2 - 2,
+    )
+    write_mrc(args.output, np.asarray(vol), voxel_size=args.pixel_size)
+    print(f"reconstructed {args.output} from {ds.n} particles")
+
+
+def cmd_postprocess(args):
+    _jax_cpu_if_requested(args)
+    from ..core.postprocess import postprocess
+    from ..io import read_mrc, write_mrc
+    from ..ops.mask import soft_mask_shape
+
+    a, hdr = read_mrc(args.half_a, return_header=True)
+    b = read_mrc(args.half_b)
+    ps = args.pixel_size or hdr.voxel_size or 1.0
+    if args.mask:
+        m = read_mrc(args.mask)
+    else:
+        n = a.shape[-1]
+        m = np.asarray(soft_mask_shape((n, n, n), n * 0.45, 3.0))
+    res = postprocess(a, b, m, ps, thres=args.thres)
+    write_mrc(args.output, res.map, voxel_size=ps)
+    print(f"resolution: {res.res_a:.2f} A (shell {res.res_shell}), "
+          f"B-factor: {res.b_factor:.1f}")
+    if args.fsc:
+        with open(args.fsc, "w") as f:
+            for i in range(len(res.fsc_true)):
+                f.write(f"{i} {res.fsc_unmasked[i]:.6f} "
+                        f"{res.fsc_masked[i]:.6f} {res.fsc_true[i]:.6f}\n")
+
+
+def cmd_genmask(args):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..io import read_mrc, write_mrc
+    from ..ops.mask import gen_mask
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    m = gen_mask(jnp.asarray(vol), args.density_ratio, args.extend, args.edge)
+    write_mrc(args.output, np.asarray(m), voxel_size=hdr.voxel_size)
+    print(f"wrote mask {args.output}")
+
+
+def _filter_tool(args, fn):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..io import read_mrc, write_mrc
+    from ..ops import fft as fft_ops
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    dims = vol.ndim
+    ft = (fft_ops.fft3_center if dims == 3 else fft_ops.fft2_center)(jnp.asarray(vol))
+    ft = fn(ft, hdr, dims)
+    out = (fft_ops.ifft3_center if dims == 3 else fft_ops.ifft2_center)(ft).real
+    write_mrc(args.output, np.asarray(out), voxel_size=hdr.voxel_size)
+    print(f"wrote {args.output}")
+
+
+def cmd_lowpass(args):
+    from ..ops import filters
+
+    ps = args.pixel_size
+
+    def fn(ft, hdr, dims):
+        p = ps or hdr.voxel_size or 1.0
+        thres = p / args.resolution  # cycles per pixel
+        return filters.low_pass_filter(ft, thres, args.edge, dims)
+
+    _filter_tool(args, fn)
+
+
+def cmd_bfactor(args):
+    from ..ops import filters
+
+    def fn(ft, hdr, dims):
+        return filters.b_factor_filter(ft, args.bfactor, dims)
+
+    _filter_tool(args, fn)
+
+
+def cmd_mask(args):
+    from ..io import read_mrc, write_mrc
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    m = read_mrc(args.mask)
+    write_mrc(args.output, vol * m, voxel_size=hdr.voxel_size)
+    print(f"wrote {args.output}")
+
+
+def cmd_average(args):
+    from ..io import read_mrc, write_mrc
+
+    a, hdr = read_mrc(args.a, return_header=True)
+    b = read_mrc(args.b)
+    write_mrc(args.output, (a + b) / 2, voxel_size=hdr.voxel_size)
+    print(f"wrote {args.output}")
+
+
+def cmd_minus(args):
+    from ..io import read_mrc, write_mrc
+
+    a, hdr = read_mrc(args.a, return_header=True)
+    b = read_mrc(args.b)
+    write_mrc(args.output, a - b, voxel_size=hdr.voxel_size)
+    print(f"wrote {args.output}")
+
+
+def cmd_resize(args):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..io import read_mrc, write_mrc
+    from ..ops import fft as fft_ops
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    dims = vol.ndim
+    n_old = vol.shape[-1]
+    fftc = fft_ops.fft3_center if dims == 3 else fft_ops.fft2_center
+    ifftc = fft_ops.ifft3_center if dims == 3 else fft_ops.ifft2_center
+    ft = fftc(jnp.asarray(vol))
+    if args.size > n_old:
+        pad = args.size - n_old
+        lo = args.size // 2 - n_old // 2
+        widths = [(lo, pad - lo)] * dims
+        ft = jnp.pad(ft, widths)
+    else:
+        ft = fft_ops.crop_ft_center(ft, args.size, dims)
+    out = ifftc(ft).real * (args.size**dims / n_old**dims)
+    new_ps = hdr.voxel_size * n_old / args.size
+    write_mrc(args.output, np.asarray(out), voxel_size=new_ps)
+    print(f"wrote {args.output} at {args.size} px, {new_ps:.4f} A/px")
+
+
+def cmd_alignz(args):
+    _jax_cpu_if_requested(args)
+    import jax.numpy as jnp
+
+    from ..geom.quat import align_z
+    from ..io import read_mrc, write_mrc
+    from ..ops.interp import linear_gather
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    v = np.asarray([float(x) for x in args.axis.split(",")])
+    v = v / np.linalg.norm(v)
+    rot = np.asarray(align_z(jnp.asarray(v, dtype=jnp.float32)))
+    n = vol.shape[-1]
+    idx = np.arange(n, dtype=np.float32) - n // 2
+    zz, yy, xx = np.meshgrid(idx, idx, idx, indexing="ij")
+    coords = np.stack([xx, yy, zz], axis=-1) @ rot  # sample at R^T x
+    out = linear_gather(jnp.asarray(vol), jnp.asarray(coords[..., ::-1]))
+    write_mrc(args.output, np.asarray(out), voxel_size=hdr.voxel_size)
+    print(f"wrote {args.output}")
+
+
+def cmd_view(args):
+    from ..io import read_mrc
+
+    vol, hdr = read_mrc(args.input, return_header=True)
+    print(f"shape: {vol.shape}  mode 2  voxel {hdr.voxel_size:.4f} A")
+    print(f"min {vol.min():.4g}  max {vol.max():.4g}  "
+          f"mean {vol.mean():.4g}  std {vol.std():.4g}")
+    if vol.ndim == 3 and args.slices:
+        n = vol.shape[0]
+        for name, sl in (("xy", vol[n // 2]), ("xz", vol[:, n // 2]),
+                         ("yz", vol[:, :, n // 2])):
+            from ..io.bmp import write_bmp
+
+            path = f"{args.slices}_{name}.bmp"
+            write_bmp(path, sl)
+            print(f"wrote {path}")
+
+
+def cmd_star2thu(args):
+    from ..io.star import star_to_thu
+
+    out = star_to_thu(args.input, args.output)
+    print(f"converted {len(out)} rows -> {args.output}")
+
+
+def cmd_thu2star(args):
+    from ..io.star import thu_to_star
+
+    thu_to_star(args.input, args.output)
+    print(f"converted -> {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="thunder_tpu", description="TPU-native cryo-EM refinement"
+    )
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("run");             s.add_argument("config")
+    s.add_argument("-o", "--output", default="")
+    s.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("project")
+    s.add_argument("volume"); s.add_argument("thu"); s.add_argument("output")
+    s.add_argument("--pf", type=int, default=2)
+    s.add_argument("--pixel-size", type=float, default=1.0)
+    s.set_defaults(fn=cmd_project)
+
+    s = sub.add_parser("reconstruct")
+    s.add_argument("thu"); s.add_argument("output")
+    s.add_argument("--pf", type=int, default=2)
+    s.add_argument("--pixel-size", type=float, default=1.0)
+    s.set_defaults(fn=cmd_reconstruct)
+
+    s = sub.add_parser("postprocess")
+    s.add_argument("half_a"); s.add_argument("half_b"); s.add_argument("output")
+    s.add_argument("--mask", default="")
+    s.add_argument("--pixel-size", type=float, default=0.0)
+    s.add_argument("--thres", type=float, default=0.143)
+    s.add_argument("--fsc", default="")
+    s.set_defaults(fn=cmd_postprocess)
+
+    s = sub.add_parser("genmask")
+    s.add_argument("input"); s.add_argument("output")
+    s.add_argument("--density-ratio", type=float, default=0.02)
+    s.add_argument("--extend", type=float, default=3)
+    s.add_argument("--edge", type=float, default=6)
+    s.set_defaults(fn=cmd_genmask)
+
+    s = sub.add_parser("lowpass")
+    s.add_argument("input"); s.add_argument("output")
+    s.add_argument("--resolution", type=float, required=True,
+                   help="cutoff in angstrom")
+    s.add_argument("--edge", type=float, default=0.02,
+                   help="edge width in cycles/pixel")
+    s.add_argument("--pixel-size", type=float, default=0.0)
+    s.set_defaults(fn=cmd_lowpass)
+
+    s = sub.add_parser("bfactor")
+    s.add_argument("input"); s.add_argument("output")
+    s.add_argument("--bfactor", type=float, required=True)
+    s.set_defaults(fn=cmd_bfactor)
+
+    s = sub.add_parser("mask")
+    s.add_argument("input"); s.add_argument("mask"); s.add_argument("output")
+    s.set_defaults(fn=cmd_mask)
+
+    s = sub.add_parser("average")
+    s.add_argument("a"); s.add_argument("b"); s.add_argument("output")
+    s.set_defaults(fn=cmd_average)
+
+    s = sub.add_parser("minus")
+    s.add_argument("a"); s.add_argument("b"); s.add_argument("output")
+    s.set_defaults(fn=cmd_minus)
+
+    s = sub.add_parser("resize")
+    s.add_argument("input"); s.add_argument("output")
+    s.add_argument("--size", type=int, required=True)
+    s.set_defaults(fn=cmd_resize)
+
+    s = sub.add_parser("alignz")
+    s.add_argument("input"); s.add_argument("output")
+    s.add_argument("--axis", required=True, help="x,y,z direction")
+    s.set_defaults(fn=cmd_alignz)
+
+    s = sub.add_parser("view")
+    s.add_argument("input")
+    s.add_argument("--slices", default="", help="prefix for BMP slice dumps")
+    s.set_defaults(fn=cmd_view)
+
+    s = sub.add_parser("star2thu")
+    s.add_argument("input"); s.add_argument("output")
+    s.set_defaults(fn=cmd_star2thu)
+
+    s = sub.add_parser("thu2star")
+    s.add_argument("input"); s.add_argument("output")
+    s.set_defaults(fn=cmd_thu2star)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

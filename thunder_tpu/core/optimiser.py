@@ -268,6 +268,48 @@ class Optimiser:
             self.n_imgs, self.para.m_l_r, self.para.m_l_t, self.para.m_l_d
         )
 
+    def load_poses(self, quats, trans, defocus=None, classes=None,
+                   k123=None, std_t=None):
+        """Resume support: rebuild the particle filter from stored .thu pose
+        columns (Particle::load semantics, src/Optimiser.cpp:5312-5385 via
+        loadParticles) — support points cluster around the stored pose with
+        the stored concentrations/stddevs."""
+        b = self.n_imgs
+        q = jnp.asarray(quats, real_dtype)
+        t = jnp.asarray(trans, real_dtype)
+        self.best_quat = np.asarray(quats, np.float32)
+        self.best_trans = np.asarray(trans, np.float32)
+        if classes is not None:
+            self.best_class = np.asarray(classes, np.int32)
+        if defocus is not None:
+            self.best_defocus = np.asarray(defocus, np.float32)
+        k1 = (jnp.asarray(k123[0], real_dtype) if k123 is not None
+              else jnp.full((b,), 0.01, real_dtype))
+        k2 = (jnp.asarray(k123[1], real_dtype) if k123 is not None
+              else jnp.full((b,), 0.01, real_dtype))
+        k3 = (jnp.asarray(k123[2], real_dtype) if k123 is not None
+              else jnp.full((b,), 0.01, real_dtype))
+        s0 = (jnp.asarray(std_t[0], real_dtype) if std_t is not None
+              else jnp.ones((b,), real_dtype))
+        s1 = (jnp.asarray(std_t[1], real_dtype) if std_t is not None
+              else jnp.ones((b,), real_dtype))
+        n_r = self.par["r"].shape[1]
+        n_t = self.par["t"].shape[1]
+        self.par["r"] = jnp.broadcast_to(q[:, None, :], (b, n_r, 4))
+        self.par["t"] = jnp.broadcast_to(t[:, None, :], (b, n_t, 2))
+        self.par["topR"] = q
+        self.par["topT"] = t
+        self.par["k1"] = jnp.maximum(k1, 1e-5)
+        self.par["k2"] = jnp.maximum(k2, 1e-5)
+        self.par["k3"] = jnp.maximum(k3, 1e-5)
+        self.par["s0"] = jnp.maximum(s0, 0.1)
+        self.par["s1"] = jnp.maximum(s1, 0.1)
+        if defocus is not None:
+            n_d = self.par["d"].shape[1]
+            self.par["d"] = jnp.broadcast_to(
+                jnp.asarray(defocus, real_dtype)[:, None], (b, n_d))
+            self.par["topD"] = jnp.asarray(defocus, real_dtype)
+
     def _preprocess(self, imgs):
         """statImg + substractBgImg + normaliseImg + maskImg
         (src/Optimiser.cpp:4608-4720): background ring stats -> zero-mean,
@@ -673,6 +715,85 @@ class Optimiser:
         max_iter = max_iter or self.para.iter_max
         for _ in range(max_iter):
             rec = self.run_iteration()
+            if self.para.save_ref_each_iter or self.para.save_thu_each_iter:
+                self.save_outputs()
             if rec["search_type"] == SEARCH_TYPE_STOP:
                 break
         return self.history
+
+    # ---------------------------------------------------------------- output
+
+    def save_outputs(self, final=False):
+        """Per-round writers with the reference's exact file naming
+        (src/Optimiser.cpp:8250-9149): Reference_{k}_{A,B}_Round_{i}.mrc,
+        FSC_Round_{i}.txt, Class_Info_Round_{i}.txt, Meta_Round_{i}.thu."""
+        import os
+
+        para = self.para
+        out = para.output_directory or "./"
+        os.makedirs(out, exist_ok=True)
+        prefix = os.path.join(out, para.output_file_prefix)
+        tag = "Final" if final else f"Round_{self.iteration:03d}"
+
+        from ..io import write_mrc
+        from ..io.thu import ThuColumns, make_table, write_thu
+
+        if para.save_ref_each_iter or final:
+            for k in range(para.k):
+                if final:
+                    write_mrc(f"{prefix}Reference_{k:03d}_Final.mrc",
+                              np.asarray((self.refs[0, k] + self.refs[1, k]) / 2),
+                              voxel_size=para.pixel_size)
+                for h, hn in ((0, "A"), (1, "B")):
+                    write_mrc(
+                        f"{prefix}Reference_{k:03d}_{hn}_{tag}.mrc",
+                        np.asarray(self.refs[h, k]),
+                        voxel_size=para.pixel_size,
+                    )
+
+        if hasattr(self, "fsc"):
+            with open(f"{prefix}FSC_{tag}.txt", "w") as f:
+                for i in range(self.fsc.shape[1]):
+                    row = " ".join(f"{self.fsc[k][i]:.6f}" for k in range(para.k))
+                    f.write(f"{i} {row}\n")
+            with open(f"{prefix}Class_Info_{tag}.txt", "w") as f:
+                for k in range(para.k):
+                    frac = float(np.mean(self.best_class == k))
+                    res = int(spectrum.res_p(jnp.asarray(self.fsc[k]),
+                                             para.thres_report_fsc, r_low=1))
+                    res_a = self.n * para.pixel_size / max(res, 1)
+                    f.write(f"{k} {frac:.6f} {res_a:.6f}\n")
+
+        if para.save_thu_each_iter or final:
+            st = self.par
+            k1 = np.asarray(st["k1"]); k2 = np.asarray(st["k2"])
+            k3 = np.asarray(st["k3"])
+            table = make_table(
+                self.n_imgs,
+                particle_paths=getattr(
+                    self, "particle_paths",
+                    [f"{i+1}@unknown.mrcs" for i in range(self.n_imgs)]),
+                micrograph_paths=getattr(
+                    self, "micrograph_paths", ["none"] * self.n_imgs),
+                voltage=np.asarray(self.ctf_params["voltage"]),
+                defocus_u=np.asarray(self.ctf_params["defocus_u"]),
+                defocus_v=np.asarray(self.ctf_params["defocus_v"]),
+                defocus_theta=np.asarray(self.ctf_params["defocus_theta"]),
+                cs=np.asarray(self.ctf_params["cs"]),
+                amplitude_contrast=np.asarray(self.ctf_params["amp_contrast"]),
+                phase_shift=np.asarray(self.ctf_params["phase_shift"]),
+                group_id=self.group_ids + 1,
+                class_id=self.best_class,
+                quat_0=self.best_quat[:, 0], quat_1=self.best_quat[:, 1],
+                quat_2=self.best_quat[:, 2], quat_3=self.best_quat[:, 3],
+                k1=k1, k2=k2, k3=k3,
+                translation_x=self.best_trans[:, 0],
+                translation_y=self.best_trans[:, 1],
+                std_translation_x=np.asarray(st["s0"]),
+                std_translation_y=np.asarray(st["s1"]),
+                defocus_factor=self.best_defocus,
+                std_defocus_factor=np.asarray(st["sD"]),
+                score=self.scores,
+            )
+            name = "Meta_Final.thu" if final else f"Meta_{tag}.thu"
+            write_thu(f"{prefix}{name}", table)
