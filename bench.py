@@ -43,7 +43,11 @@ def main():
     rots = quat.rotate3d(quats)
     trans = jnp.asarray(rng.normal(0, 3, size=(n_tr, 2)).astype(np.float32))
     tra = translation_phase(col, row, trans[:, 0], trans[:, 1], n)
-    imgs = jnp.asarray(
+    from thunder_tpu.dtypes import device_complex
+
+    # complex buffers cannot cross the axon host<->device boundary; build
+    # them on device from real planes
+    imgs = device_complex(
         (rng.normal(size=(n_imgs, p)) + 1j * rng.normal(size=(n_imgs, p))).astype(
             np.complex64
         )
@@ -72,13 +76,20 @@ def main():
         return jnp.abs(state["F"]).sum() + out["baseline"].sum()
 
     args = (vol, imgs, ctf, sig_rcp, rots, tra, col, row, pmask)
-    # warmup/compile; float() forces a device->host sync
+    # warmup/compile; float() forces a device->host sync (the only reliable
+    # sync over the remote-TPU tunnel, which adds ~27 ms RTT per sync —
+    # so amortize: n async dispatches, one sync, minus one dispatch+sync)
     float(refine_step(*args))
-    n_steps = 5
     t0 = time.perf_counter()
+    float(refine_step(*args))
+    t_one = time.perf_counter() - t0
+    n_steps = 16
+    t0 = time.perf_counter()
+    r = None
     for _ in range(n_steps):
-        float(refine_step(*args))
-    dt = (time.perf_counter() - t0) / n_steps
+        r = refine_step(*args)
+    float(r)
+    dt = max((time.perf_counter() - t0 - t_one) / (n_steps - 1), 1e-9)
 
     particles_per_sec = n_imgs / dt
     print(

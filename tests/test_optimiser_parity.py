@@ -1,0 +1,155 @@
+"""Parity features of the Optimiser: scale correction, norm correction,
+re-centring, solvent flatten, class balancing (reference:
+src/Optimiser.cpp:5103-7990)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.config import Para
+from thunder_tpu.core import projector
+from thunder_tpu.core.optimiser import Optimiser
+from thunder_tpu.core.projector import project_full_3d
+from thunder_tpu.geom import quat
+from thunder_tpu.ops import ctf as ctf_ops
+from thunder_tpu.ops import fft as fft_ops
+from thunder_tpu.ops.mask import soft_mask_shape
+
+N = 32
+B = 24
+
+
+def _make_opt(scale=1.0, k=1, group_ids=None, noise=0.01, seed=0):
+    para = Para(size=N, pixel_size=2.0, k=k, mask_radius=28.0, m_s=64,
+                m_l_r=16, m_l_t=4, m_l_d=4, m_reco=4, trans_s=2.0,
+                init_res=30.0, global_search_res=8.0, sym="C1",
+                save_ref_each_iter=False, save_thu_each_iter=False)
+    rng = np.random.default_rng(seed)
+    vol = np.array(np.asarray(soft_mask_shape((N, N, N), 6.0, 3.0)))
+    vol += np.roll(vol, 5, axis=0) * 0.5
+    quats = np.array(np.asarray(quat.random_quat(jax.random.PRNGKey(1), B)))
+    rots = np.asarray(quat.rotate3d(jnp.asarray(quats)))
+    cp = dict(voltage=np.full(B, 300e3), defocus_u=rng.uniform(1e4, 2e4, B),
+              defocus_v=rng.uniform(1e4, 2e4, B), defocus_theta=np.zeros(B),
+              cs=np.zeros(B), amp_contrast=np.full(B, 0.1),
+              phase_shift=np.zeros(B))
+    cp = {k_: v.astype(np.float32) for k_, v in cp.items()}
+    ref_ft = projector.build_projectee_3d(jnp.asarray(vol, jnp.float32), pf=2)
+    imgs_ft = project_full_3d(ref_ft, jnp.asarray(rots), N, N // 2 - 2, pf=2)
+    f = jnp.arange(N) - N // 2
+    colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+    c2d = ctf_ops.ctf_pixels(
+        colg.reshape(-1).astype(jnp.float32),
+        rowg.reshape(-1).astype(jnp.float32), N, 2.0,
+        *[jnp.asarray(cp[k_])[:, None] for k_ in
+          ("voltage", "defocus_u", "defocus_v", "defocus_theta", "cs",
+           "amp_contrast", "phase_shift")]).reshape(B, N, N)
+    imgs_rl = np.array(np.asarray(fft_ops.ifft2_center(imgs_ft * c2d).real))
+    imgs_rl = scale * imgs_rl + rng.normal(0, noise, imgs_rl.shape).astype(
+        np.float32)
+    opt = Optimiser(para)
+    opt.set_data(imgs_rl, cp, group_ids=group_ids)
+    # a realistic working band (init_res alone gives r=2 at this box size);
+    # set BEFORE init_reference so the reference keeps those shells
+    opt.ladder.r = 12
+    opt.init_reference(vol)
+    opt.init_sigma()
+    opt.best_quat = quats.astype(np.float32)
+    # init-time scale correction: the background normalisation rescales the
+    # data, so the reference must be brought onto the data's intensity scale
+    # (correctScale(init=true), src/Optimiser.cpp:5118-5124)
+    opt.correct_scale(init=True, group=False)
+    return opt
+
+
+def test_refresh_scale_consistent_groups():
+    """With identical signal in both groups the fitted scales agree and are
+    positive; correcting divides the stacks by them."""
+    opt = _make_opt(group_ids=np.arange(B) % 2)
+    s = opt.refresh_scale(group=True)
+    assert s.shape == (2,)
+    assert np.all(s > 0)
+    assert abs(s[0] - s[1]) / s[0] < 0.5
+    before = np.asarray(jnp.abs(opt.imgs_ft)).sum()
+    opt.correct_scale(init=False, group=True)
+    after = np.asarray(jnp.abs(opt.imgs_ft)).sum()
+    assert after == pytest.approx(
+        before / s.mean(), rel=0.5)
+
+
+def test_refresh_scale_detects_intensity():
+    """Scaling every image by c scales the fit by ~c (relative)."""
+    s1 = _make_opt(scale=1.0).refresh_scale()
+    s3 = _make_opt(scale=3.0).refresh_scale()
+    # background normalisation absorbs part of it; the ratio must move
+    # in the right direction
+    assert s3[0] > s1[0] * 0.9
+
+
+def test_norm_correction_shrinks_residual_spread():
+    """One application of normCorrection must reduce the relative spread of
+    per-image residual power in the noise-dominated regime (the formula
+    assumes residual ~ noise; the reference applies it every round)."""
+    opt = _make_opt(noise=1.0)
+
+    def residual_norms():
+        ring = opt._ring()
+        out = []
+        for h in (0, 1):
+            idx = np.nonzero(opt.halves == h)[0]
+            dat, c, _ = opt._gather_ring_data(ring, idx)
+            pri = opt._predicted_slices(ring, idx, h)
+            out.append(np.asarray(
+                jnp.sum(jnp.abs(dat - c * pri) ** 2, axis=-1)))
+        return np.concatenate(out)
+
+    # perturb per-image intensity after preprocessing
+    fac = np.linspace(0.5, 2.0, B).astype(np.float32)
+    opt.imgs_ft = opt.imgs_ft * jnp.asarray(fac)[:, None, None]
+    opt.imgs_ft_ori = opt.imgs_ft_ori * jnp.asarray(fac)[:, None, None]
+    before = residual_norms()
+    opt.norm_correction()
+    after = residual_norms()
+    assert (after.std() / after.mean()) < (before.std() / before.mean())
+
+
+def test_re_centre_accumulates_offsets_and_zeroes_translation():
+    opt = _make_opt()
+    tr = np.random.default_rng(3).normal(0, 1.5, (B, 2)).astype(np.float32)
+    opt.best_trans = tr.copy()
+    opt.re_centre_img()
+    assert np.allclose(opt.offsets, -tr)
+    assert np.allclose(opt.best_trans, 0)
+    # particle support moved with it
+    assert np.allclose(np.asarray(opt.par["topT"]), -tr, atol=1e-5)
+
+
+def test_solvent_flatten_zeroes_background():
+    opt = _make_opt()
+    opt.refs = opt.refs + 0.5  # constant background
+    opt.solvent_flatten(False)
+    r = np.asarray(opt.refs[0, 0])
+    assert abs(r[0, 0, 0]) < 1e-6  # corner outside mask -> zero
+    assert r[N // 2, N // 2, N // 2] > 0.5  # center kept
+
+
+def test_balance_class_resigns_empty_class():
+    opt = _make_opt(k=2)
+    opt.best_class = np.zeros(B, np.int32)  # class 1 empty
+    opt.refs = opt.refs.at[:, 1].set(0.0)
+    opt.balance_class()
+    # class 1 reference resigned from class 0
+    assert np.allclose(np.asarray(opt.refs[:, 1]), np.asarray(opt.refs[:, 0]))
+
+
+def test_golden_fsc_core_correction_runs():
+    opt = _make_opt()
+    opt.para.core_fsc = True
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(N, N, N)),
+                    jnp.float32)
+    fa = fft_ops.fft3_center(a)
+    fsc = np.asarray(opt._golden_fsc(fa, fa))
+    assert fsc.shape == (N // 2,)
+    assert np.all(fsc[1:6] > 0.9)  # identical maps -> ~1 at low shells

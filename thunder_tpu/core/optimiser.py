@@ -30,7 +30,7 @@ from ..ops import ctf as ctf_ops
 from ..ops import fft as fft_ops
 from ..ops import likelihood, pixels, spectrum
 from ..ops.mask import soft_mask_shape
-from ..ops.translate import translation_phase
+from ..ops.translate import translate_ft, translation_phase
 from . import particle, projector, reconstructor, sampling
 
 # search types (include/Optimiser.h / Model.h)
@@ -252,8 +252,18 @@ class Optimiser:
             halves[perm[self.n_imgs // 2:]] = 1
         self.halves = np.asarray(halves, np.int32)
 
-        imgs = self._preprocess(jnp.asarray(imgs))
-        self.imgs_ft = fft_ops.fft2_center(imgs)
+        # _imgOri / _img of the reference: background-normalised spectra,
+        # unmasked and masked (include/Optimiser.h _img/_imgOri)
+        imgs_norm, alpha = self._preprocess(jnp.asarray(imgs))
+        self.imgs_ft_ori = fft_ops.fft2_center(imgs_norm)
+        if self.para.zero_mask:
+            self.imgs_ft = fft_ops.fft2_center(imgs_norm * alpha)
+        else:
+            self.imgs_ft = self.imgs_ft_ori
+        # per-image accumulated re-centring offsets (Optimiser::_offset)
+        self.offsets = np.zeros((self.n_imgs, 2), np.float32)
+        # per-group intensity scale (Optimiser::_scale)
+        self.scale = np.ones(self.n_groups, np.float32)
         # pose estimates per image
         self.best_class = np.zeros(self.n_imgs, np.int32)
         self.best_quat = np.tile(np.array([1.0, 0, 0, 0], np.float32),
@@ -311,9 +321,10 @@ class Optimiser:
             self.par["topD"] = jnp.asarray(defocus, real_dtype)
 
     def _preprocess(self, imgs):
-        """statImg + substractBgImg + normaliseImg + maskImg
+        """statImg + substractBgImg + normaliseImg
         (src/Optimiser.cpp:4608-4720): background ring stats -> zero-mean,
-        unit-std background -> soft mask (zero fill when zeroMask)."""
+        unit-std background. Returns (normalised images, soft mask alpha);
+        the caller applies the mask for the _img stack (maskImg)."""
         n = self.n
         r_mask = self.para.mask_radius_px
         ew = 6.0  # EDGE_WIDTH_RL (include/Macro.h)
@@ -323,9 +334,7 @@ class Optimiser:
         mean = jnp.sum(imgs * bg_w, axis=(-2, -1), keepdims=True) / denom
         var = jnp.sum(((imgs - mean) ** 2) * bg_w, axis=(-2, -1), keepdims=True) / denom
         imgs = (imgs - mean) / jnp.sqrt(jnp.maximum(var, 1e-12))
-        if self.para.zero_mask:
-            imgs = imgs * alpha
-        return imgs
+        return imgs, alpha
 
     def init_reference(self, vol=None):
         """Initial model: provided volume (n^3) or a soft sphere; low-passed
@@ -362,10 +371,11 @@ class Optimiser:
     def _ring(self):
         return pixels.pixel_ring(self.n, self.r_low, self.ladder.r)
 
-    def _gather_ring_data(self, ring, idx):
+    def _gather_ring_data(self, ring, idx, ori=False):
         """Observed pixels, CTF and sigma reciprocal on the ring for a subset
-        of images."""
-        dat = pixels.gather_pixels(self.imgs_ft[idx], ring)
+        of images. ``ori=True`` reads the unmasked stack (_imgOri)."""
+        stack = self.imgs_ft_ori if ori else self.imgs_ft
+        dat = pixels.gather_pixels(stack[idx], ring)
         col = jnp.asarray(ring.col)
         row = jnp.asarray(ring.row)
         cp = {k: v[idx] for k, v in self.ctf_params.items()}
@@ -536,8 +546,11 @@ class Optimiser:
             return quat.rotate2d(jnp.asarray(self.best_phi[idx]))
         return quat.rotate3d(jnp.asarray(self.best_quat[idx]))
 
-    def _predicted_slices(self, ring, idx, h):
-        """CTF-free predicted (translated) slices at the current best pose."""
+    def _predicted_slices(self, ring, idx, h, use_offset=False):
+        """CTF-free predicted (translated) slices at the current best pose.
+        ``use_offset`` projects at (tran - offset) — pairs with the UNMASKED
+        image stack, which is never re-centred (the reference's
+        OPTIMISER_RECENTRE_IMAGE_EACH_ITERATION convention)."""
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
         rots = self._rot_matrices(idx)
         pri = []
@@ -554,13 +567,17 @@ class Optimiser:
                                                        pf=self.para.pf))
         pri = jnp.stack(pri)  # (K, B, P)
         pri = pri[self.best_class[idx], jnp.arange(len(idx))]
-        t = jnp.asarray(self.best_trans[idx])
+        t = np.array(self.best_trans[idx])
+        if use_offset:
+            t = t - self.offsets[idx]
+        t = jnp.asarray(t)
         tra = translation_phase(col, row, t[:, 0], t[:, 1], self.n)
         return pri * tra
 
     def maximization_sigma(self):
-        """allReduceSigma, masked path (src/Optimiser.cpp:6397-6710):
-        sig(group, shell) = mean_l power_shell(dat - ctf * pri) / 2."""
+        """allReduceSigma, unmasked path (src/Optimiser.cpp:6397-6710,
+        OPTIMISER_SIGMA_MASK off): sig(group, shell) =
+        mean_l power_shell(datOri - ctf * pri(tran - offset)) / 2."""
         ring = self._ring()
         n_shell = self.n // 2
         acc = np.zeros((self.n_groups, n_shell), np.float64)
@@ -571,8 +588,8 @@ class Optimiser:
             idx = np.nonzero(self.halves == h)[0]
             if len(idx) == 0:
                 continue
-            dat, c, _ = self._gather_ring_data(ring, idx)
-            pri = self._predicted_slices(ring, idx, h)
+            dat, c, _ = self._gather_ring_data(ring, idx, ori=True)
+            pri = self._predicted_slices(ring, idx, h, use_offset=True)
             resid = jnp.abs(dat - c * pri) ** 2 * jnp.asarray(ring.mask)
             # per-shell sums
             sig_idx = np.asarray(ring.sig)
@@ -591,6 +608,220 @@ class Optimiser:
         new_sig[:, :r] = np.maximum(sig[:, :r], 1e-10)
         new_sig[:, r:] = new_sig[:, r - 1 : r]
         self.sig = jnp.asarray(new_sig)
+
+    # -------------------------------------------------- parity corrections
+
+    def _r_s(self):
+        """Scale-correction frequency band (Optimiser::refreshScale,
+        src/Optimiser.cpp:5749-5766): resolution at thresSclCorFSC after the
+        first round, the configured sclCorRes band before, clamped to r."""
+        para = self.para
+        if self.iteration > 0 and hasattr(self, "fsc"):
+            r_s = int(spectrum.res_p(jnp.asarray(self.fsc[0]),
+                                     para.thres_scl_cor_fsc, r_low=1))
+        else:
+            r_s = max(1, int(round(self.n * para.pixel_size / para.scl_cor_res)))
+        return min(r_s, self.ladder.r)
+
+    def refresh_scale(self, group=True):
+        """Per-group intensity scale from a data-vs-projection linear fit
+        (Optimiser::refreshScale src/Optimiser.cpp:5749-6063,
+        scaleDataVSPrior :10286): scale_g = sum XA / sum AA over shells in
+        [rL, rS), XA = Re(dat conj(ctf pri)), AA = |ctf pri|^2, clamped to
+        [median/5, median*5]."""
+        ring = pixels.pixel_ring(self.n, self.r_low, self._r_s())
+        xa = np.zeros(self.n_groups, np.float64)
+        aa = np.zeros(self.n_groups, np.float64)
+        for h in (0, 1):
+            idx = np.nonzero(self.halves == h)[0]
+            if len(idx) == 0:
+                continue
+            dat, c, _ = self._gather_ring_data(ring, idx, ori=True)
+            pri = self._predicted_slices(ring, idx, h, use_offset=True)
+            cp = c * pri * jnp.asarray(ring.mask)
+            xa_l = np.asarray(jnp.sum((jnp.conj(dat) * cp).real, axis=-1),
+                              np.float64)
+            aa_l = np.asarray(jnp.sum(jnp.abs(cp) ** 2, axis=-1), np.float64)
+            g = self.group_ids[idx] if group else np.zeros(len(idx), np.int32)
+            np.add.at(xa, g, xa_l)
+            np.add.at(aa, g, aa_l)
+        if not group:
+            xa[:] = xa[0]
+            aa[:] = aa[0]
+        scale = np.abs(xa / np.maximum(aa, 1e-30))
+        med = np.median(scale)
+        scale = np.clip(scale, med / 5, med * 5)
+        return scale.astype(np.float32)
+
+    def correct_scale(self, init=False, group=True):
+        """Apply the refreshed scale (Optimiser::correctScale,
+        src/Optimiser.cpp:5103-5144): at init multiply the reference by the
+        scale; afterwards divide the image stacks by their group scale and
+        sigma by scale^2."""
+        scale = self.refresh_scale(group=group)
+        if init:
+            s = float(scale[self.group_ids[0]])
+            self.refs = self.refs * s
+        else:
+            s_img = jnp.asarray(scale)[self.group_ids][:, None, None]
+            self.imgs_ft = self.imgs_ft / s_img
+            self.imgs_ft_ori = self.imgs_ft_ori / s_img
+            self.sig = self.sig / jnp.asarray(scale[:, None] ** 2)
+        self.scale = scale
+
+    def norm_correction(self):
+        """Optimiser::normCorrection (src/Optimiser.cpp:6201-6394,
+        OPTIMISER_NORM_MASK on): per-image residual power over [rL, rNorm)
+        on the MASKED stack at the rank-1 pose; rescale both stacks by
+        sqrt(median / norm_l)."""
+        r_norm = min(
+            self.ladder.r,
+            int(spectrum.res_p(jnp.asarray(self.fsc[0]), 0.75, r_low=1))
+            if hasattr(self, "fsc") else self.ladder.r,
+        )
+        ring = pixels.pixel_ring(self.n, self.r_low, max(r_norm, self.r_low + 1))
+        norm = np.zeros(self.n_imgs, np.float64)
+        for h in (0, 1):
+            idx = np.nonzero(self.halves == h)[0]
+            if len(idx) == 0:
+                continue
+            dat, c, _ = self._gather_ring_data(ring, idx)
+            pri = self._predicted_slices(ring, idx, h)
+            resid = jnp.abs(dat - c * pri) ** 2 * jnp.asarray(ring.mask)
+            norm[idx] = np.asarray(jnp.sum(resid, axis=-1), np.float64)
+        m = np.median(norm)
+        fac = jnp.asarray(np.sqrt(m / np.maximum(norm, 1e-30)).astype(np.float32))
+        self.imgs_ft = self.imgs_ft * fac[:, None, None]
+        self.imgs_ft_ori = self.imgs_ft_ori * fac[:, None, None]
+
+    def re_centre_img(self):
+        """Optimiser::reCentreImg (src/Optimiser.cpp:6065-6093): fold each
+        image's rank-1 translation into its accumulated offset, re-derive the
+        masked stack from the (never-moved) original stack, and shift the
+        particle filter's translation support accordingly."""
+        tran = np.array(self.best_trans)
+        self.offsets -= tran
+        t_shift = jnp.asarray(tran)
+        # shift support points and tracked poses
+        self.par["t"] = self.par["t"] - t_shift[:, None, :]
+        self.par["topT"] = self.par["topT"] - t_shift
+        self.best_trans = np.zeros_like(self.best_trans)
+        self._rebuild_masked_stack()
+
+    def _rebuild_masked_stack(self):
+        """_img = mask(translate(_imgOri, offset)) (reCentreImg + reMaskImg,
+        src/Optimiser.cpp:6065-6153)."""
+        off = jnp.asarray(self.offsets)
+        shifted = translate_ft(
+            fft_ops.fft2_center(fft_ops.ifft2_center(self.imgs_ft_ori)),
+            off[:, 0], off[:, 1],
+        )
+        if self.para.zero_mask:
+            n = self.n
+            alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
+            rl = fft_ops.ifft2_center(shifted).real * alpha
+            self.imgs_ft = fft_ops.fft2_center(rl)
+        else:
+            self.imgs_ft = shifted
+
+    def re_mask_img(self):
+        """Optimiser::reMaskImg (src/Optimiser.cpp:6093-6153): re-apply the
+        zero-noise soft mask to the working stack."""
+        if not self.para.zero_mask:
+            return
+        n = self.n
+        alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
+        rl = fft_ops.ifft2_center(self.imgs_ft).real * alpha
+        self.imgs_ft = fft_ops.fft2_center(rl)
+
+    def solvent_flatten(self, use_mask=False):
+        """Optimiser::solventFlatten (src/Optimiser.cpp:7768-7990, active
+        OPTIMISER_SOLVENT_FLATTEN_MASK_ZERO path): soft-mask every reference
+        with zero background — the spherical mask by default, the provided
+        mask volume (low-passed to the current band) when enabled."""
+        n = self.n
+        if use_mask and getattr(self, "mask_vol", None) is not None:
+            m_ft = fft_ops.fft3_center(jnp.asarray(self.mask_vol, real_dtype))
+            from ..ops.filters import low_pass_filter
+
+            m_ft = low_pass_filter(m_ft, self.ladder.r / n, 4.0 / n, 3)
+            alpha = jnp.clip(fft_ops.ifft3_center(m_ft).real, 0.0, 1.0)
+        elif self.para.mode == "2d":
+            alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
+        else:
+            alpha = soft_mask_shape((n, n, n), self.para.mask_radius_px, 6.0)
+        if self.para.mode == "2d":
+            # refs hold the central slice convention: mask each 2D class
+            self.refs = self.refs.at[:, :, self.n // 2].multiply(alpha)
+        else:
+            self.refs = self.refs * alpha
+
+    def refresh_class_distr(self):
+        """Class fractions (Optimiser::refreshClassDistr,
+        src/Optimiser.cpp:5484-5517)."""
+        counts = np.bincount(self.best_class, minlength=self.para.k)
+        self.c_distr = counts / max(counts.sum(), 1)
+        return self.c_distr
+
+    def balance_class(self, thres=0.05):
+        """OPTIMISER_BALANCE_CLASS during global search
+        (determineBalanceClass/balanceClass, src/Optimiser.cpp:5519-5593,
+        CLASS_BALANCE_FACTOR include/Optimiser.h:71): a class holding fewer
+        than thres/K of the images gets its reference resigned from a class
+        drawn proportionally to the excess distribution."""
+        if self.para.k == 1:
+            return
+        distr = self.refresh_class_distr()
+        rng = np.random.default_rng(self.para.seed + self.iteration)
+        excess = np.where(distr < thres / self.para.k, 0.0,
+                          distr - thres / self.para.k)
+        if excess.sum() <= 0:
+            return
+        p_src = excess / excess.sum()
+        for t in range(self.para.k):
+            if distr[t] < thres / self.para.k:
+                j = int(rng.choice(self.para.k, p=p_src))
+                self.refs = self.refs.at[:, t].set(self.refs[:, j])
+
+    def _golden_fsc(self, ft_a, ft_b):
+        """Golden-standard FSC between half-map spectra, with the
+        mask/core random-phase correction when enabled
+        (Model::compareTwoHemispheres src/Model.cpp:407-546): FSC the raw
+        maps; randomize phases past the FSC=0.8 shell; soft-mask both the
+        randomized and the raw maps (provided mask for maskFSC, spherical
+        core of the image mask radius for coreFSC); true FSC =
+        (FSC_mask - FSC_rand) / (1 - FSC_rand) past that shell."""
+        para = self.para
+        n = self.n
+        fsc_u = spectrum.frc_fsc(ft_a, ft_b, n // 2, 3)
+        use_mask = para.mask_fsc and getattr(self, "mask_vol", None) is not None
+        use_core = para.core_fsc and para.mode == "3d"
+        if not (use_mask or use_core) or para.mode != "3d":
+            return fsc_u
+
+        if use_mask:
+            alpha = jnp.asarray(self.mask_vol, real_dtype)
+        else:
+            alpha = soft_mask_shape((n, n, n), self.para.mask_radius_px, 6.0)
+        r_rand = int(spectrum.res_p(fsc_u, 0.8, r_low=1))
+        self.key, ka, kb = jax.random.split(self.key, 3)
+        ra = fft_ops.ifft3_center(
+            spectrum.random_phase(ka, ft_a, r_rand, 3)).real * alpha
+        rb = fft_ops.ifft3_center(
+            spectrum.random_phase(kb, ft_b, r_rand, 3)).real * alpha
+        fsc_r = spectrum.frc_fsc(
+            fft_ops.fft3_center(ra), fft_ops.fft3_center(rb), n // 2, 3)
+        ma = fft_ops.ifft3_center(ft_a).real * alpha
+        mb = fft_ops.ifft3_center(ft_b).real * alpha
+        fsc_m = spectrum.frc_fsc(
+            fft_ops.fft3_center(ma), fft_ops.fft3_center(mb), n // 2, 3)
+        shells = jnp.arange(n // 2)
+        corrected = (fsc_m - fsc_r) / jnp.maximum(1 - fsc_r, 1e-6)
+        return jnp.where(shells < r_rand + 2, fsc_m, corrected)
+
+    def set_mask(self, vol):
+        """Provided reference mask volume (n, n, n) in [0, 1]."""
+        self.mask_vol = np.asarray(vol, np.float32)
 
     def reconstruct(self):
         """Per-half, per-class insert + reconstruct; golden-standard FSC;
@@ -668,7 +899,7 @@ class Optimiser:
                 for m in maps
             ]
             ft_a, ft_b = fft_ops.fft3_center(vols[0]), fft_ops.fft3_center(vols[1])
-            fsc_new = spectrum.frc_fsc(ft_a, ft_b, self.n // 2, 3)
+            fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
             half_maps.append([np.asarray(v) for v in vols])
             # hemisphere averaging below the band where FSC >= 0.95 thres
@@ -689,14 +920,46 @@ class Optimiser:
     # ------------------------------------------------------------------ run
 
     def run_iteration(self):
+        """One refinement round in the reference's order
+        (Optimiser::run src/Optimiser.cpp:3561-4075 + maximization :3405)."""
         para = self.para
-        tv0, tv1 = self.expectation()
+        search_type_in = self.ladder.search_type
+        if not para.skip_e:
+            tv0, tv1 = self.expectation()
+        else:
+            tv0, tv1 = self.ladder.t_vari_s0, self.ladder.t_vari_s1
         self.ladder.record_t_vari(tv0, tv1)
-        self.maximization_sigma()
-        self.reconstruct()
+
+        # --- maximization (src/Optimiser.cpp:3405-3520)
+        if not para.skip_m:
+            if self.iteration != 0 and search_type_in != SEARCH_TYPE_GLOBAL:
+                self.norm_correction()
+            self.maximization_sigma()
+            if (search_type_in == SEARCH_TYPE_GLOBAL and para.group_scl
+                    and self.iteration != 0):
+                self.correct_scale(init=False, group=True)
+        if not para.skip_r:
+            self.reconstruct()
+            if search_type_in == SEARCH_TYPE_GLOBAL:
+                self.balance_class()
+
+        # --- re-centre + re-mask each iteration (:3789-3875)
+        if search_type_in != SEARCH_TYPE_GLOBAL and para.mode == "3d":
+            self.re_centre_img()
+            self.re_mask_img()
+
+        # --- solvent flatten (:4005-4014): provided mask only after global
+        # search unless global_mask is set
+        if not para.skip_r:
+            if search_type_in == SEARCH_TYPE_GLOBAL and not para.global_mask:
+                self.solvent_flatten(False)
+            else:
+                self.solvent_flatten(para.perform_mask)
+
         # resolution from best-class FSC
         res = int(spectrum.res_p(jnp.asarray(self.fsc[0]),
-                                 para.thres_cutoff_fsc, r_low=1))
+                                 para.thres_cutoff_fsc, r_low=1)) \
+            if hasattr(self, "fsc") else self.ladder.res
         self.ladder.elevate(res)
         st = self.ladder.transition(para.l_search, para.c_search)
         self.iteration += 1
@@ -707,6 +970,8 @@ class Optimiser:
             "res_a": float(self.n * para.pixel_size / max(res, 1)),
             "search_type": st,
             "t_vari": (tv0, tv1),
+            "class_distr": getattr(self, "c_distr", None),
+            "scale": self.scale.tolist() if self.n_groups > 1 else None,
         }
         self.history.append(rec)
         return rec

@@ -58,13 +58,19 @@ DEFAULT_BLOB_A = 1.9  # script/demo.json "MKB Radius"
 DEFAULT_BLOB_ALPHA = 15.0
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "mode"))
 def empty_state(size, pf=2, mode="3d"):
-    """F (complex) and T (real) padded accumulators + recentring offsets."""
+    """F (complex) and T (real) padded accumulators + recentring offsets.
+
+    Jitted so the complex zeros are materialized ON device — an eager
+    complex constant would be transferred from host, which the remote axon
+    TPU backend cannot do."""
     m = size * pf
     shape = (m, m, m) if mode == "3d" else (m, m)
+    z = jnp.zeros(shape, dtype=real_dtype)
     return {
-        "F": jnp.zeros(shape, dtype=complex_dtype),
-        "T": jnp.zeros(shape, dtype=real_dtype),
+        "F": jax.lax.complex(z, z),
+        "T": z,
         "ox": jnp.zeros((), real_dtype),
         "oy": jnp.zeros((), real_dtype),
         "counter": jnp.zeros((), real_dtype),

@@ -13,6 +13,9 @@ On TPU, float64 is emulated and slow; the policy here is:
   4x4, two-pass variance) — validated against float64 in tests.
 """
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 real_dtype = jnp.float32
@@ -21,3 +24,20 @@ index_dtype = jnp.int32
 
 # Matches the reference's reported resolution rounding behaviour.
 FSC_CUTOFF = 0.143  # docs/README.md FSC reporting threshold
+
+
+@jax.jit
+def _combine_complex(re, im):
+    return jax.lax.complex(re, im)
+
+
+def device_complex(x):
+    """Host complex array -> device complex64 WITHOUT a complex transfer.
+
+    Some PJRT backends (the remote axon TPU tunnel) cannot transfer complex
+    buffers in either direction; uploading real and imaginary planes
+    separately and combining on device works everywhere."""
+    x = np.asarray(x)
+    re = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return _combine_complex(re, im)

@@ -11,6 +11,7 @@ numerator and denominator, so all ratios (FSC, shell means) are identical.
 All functions operate on CENTERED spectra (see ops.fft).
 """
 
+import jax
 import jax.numpy as jnp
 
 from .fft import radius_grid_2d, radius_grid_3d
@@ -106,7 +107,10 @@ def random_phase(key, ft, r, spatial_dims):
         flip = jnp.flip(flip, axis=ax)
         flip = jnp.roll(flip, 1, axis=ax)
     phi = phi - flip
-    rot = jnp.exp(1j * phi.astype(jnp.float32))
+    # lax.complex instead of a 1j literal: eager complex scalars cannot be
+    # transferred to the remote axon TPU backend
+    phi = phi.astype(jnp.float32)
+    rot = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
     return jnp.where(u > r, ft * rot, ft)
 
 

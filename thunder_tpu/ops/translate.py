@@ -5,7 +5,15 @@ Matches src/Image/ImageFunctions.cpp:233-252: translating an image by
 for signed frequency (h, k).
 """
 
+import jax
 import jax.numpy as jnp
+
+
+def _cis(phase):
+    """exp(i phase) without a complex literal: a complex scalar in an EAGER
+    op is transferred to the device as a complex buffer, which some PJRT
+    backends (the remote axon TPU tunnel) cannot do."""
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 def translation_phase(col, row, tx, ty, n):
@@ -20,7 +28,7 @@ def translation_phase(col, row, tx, ty, n):
         2 * jnp.pi / n
         * (col * jnp.asarray(tx)[..., None] + row * jnp.asarray(ty)[..., None])
     )
-    return jnp.exp(-1j * phase.astype(jnp.float32))
+    return _cis(-phase.astype(jnp.float32))
 
 
 def translate_ft(ft, tx, ty):
@@ -36,4 +44,4 @@ def translate_ft(ft, tx, ty):
             + k.astype(jnp.float32) * jnp.asarray(ty)[..., None, None]
         )
     )
-    return ft * jnp.exp(-1j * phase.astype(jnp.float32))
+    return ft * _cis(-phase.astype(jnp.float32))
