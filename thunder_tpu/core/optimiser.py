@@ -166,12 +166,23 @@ def _local_phase_step(key, st, vols, cls, dat, c_px, sig_rcp, col, row,
         st["d"] = jnp.where(active[:, None], d_new, st["d"])
 
     rots = quat.rotate3d(st["r"])  # (B, mLR, 3, 3)
-    proj = None
-    for k in range(k_classes):
-        p_k = projector.project_pixels_3d(vols[k], rots, col, row, pf=pf)
-        proj = p_k if proj is None else jnp.where(
-            (cls == k)[:, None, None], p_k, proj
-        )
+    coords = projector.slice_coords_3d(rots, col, row, pf=pf)
+    if k_classes == 1:
+        proj = projector.project_brick_3d(vols[0], rots, col, row, pf=pf)
+    else:
+        # gather each image's slice from ITS class's brick table: index the
+        # stacked tables by class on the fly (one fused gather, no K-fold
+        # projection + select of round 1, src/Optimiser.cpp:925-955)
+        from ..ops import brick as brick_ops
+
+        mc = vols.shape[-2]
+        flat = vols.reshape(k_classes * mc**3, 16)
+        idx, w8, valid = brick_ops._corners3(coords, mc)
+        idx = jnp.where(valid, idx, 0) + (cls * mc**3)[:, None, None]
+        rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (16,))
+        re = jnp.sum(rows[..., :8] * w8, -1)
+        im = jnp.sum(rows[..., 8:] * w8, -1)
+        proj = jnp.where(valid, jax.lax.complex(re, im), 0.0)
     tra = translation_phase(col, row, st["t"][..., 0], st["t"][..., 1], n)
     ctf_d = None
     if ctf_search:
@@ -427,20 +438,21 @@ class Optimiser:
             if len(idx) == 0:
                 continue
             # class projections from this hemisphere's reference
+            r_band = self.ladder.r
             projs = []
             for k in range(para.k):
                 if para.mode == "2d":
-                    ref_ft = projector.build_projectee_2d(
-                        self.refs[h, k, self.n // 2], pf=para.pf
+                    tab = projector.build_brick_projectee_2d(
+                        self.refs[h, k, self.n // 2], r_band, pf=para.pf
                     )
-                    projs.append(projector.project_pixels_2d(
-                        ref_ft, rots2, col, row, pf=para.pf))
+                    projs.append(projector.project_brick_2d(
+                        tab, rots2, col, row, pf=para.pf))
                 else:
-                    ref_ft = projector.build_projectee_3d(
-                        self.refs[h, k], pf=para.pf
+                    tab = projector.build_brick_projectee_3d(
+                        self.refs[h, k], r_band, pf=para.pf
                     )
-                    projs.append(projector.project_pixels_3d(
-                        ref_ft, rots3, col, row, pf=para.pf))
+                    projs.append(projector.project_brick_3d(
+                        tab, rots3, col, row, pf=para.pf))
             proj = jnp.stack(projs)  # (K, R, P)
 
             batch = para.image_batch or len(idx)
@@ -470,12 +482,14 @@ class Optimiser:
                 for field in self.par:
                     self.par[field] = self.par[field].at[sub_j].set(st[field])
 
-    def _class_projectees(self, h):
+    def _class_projectees(self, h, r_band=None):
         para = self.para
+        r_band = self.ladder.r if r_band is None else r_band
         vols = []
         for k in range(para.k):
-            vols.append(projector.build_projectee_3d(self.refs[h, k], pf=para.pf))
-        return jnp.stack(vols)  # (K, m, m, m)
+            vols.append(projector.build_brick_projectee_3d(
+                self.refs[h, k], r_band, pf=para.pf))
+        return jnp.stack(vols)  # (K, mc, mc, mc, 16)
 
     def local_search(self):
         """Phase-B particle-filter refinement for every image
@@ -553,18 +567,19 @@ class Optimiser:
         OPTIMISER_RECENTRE_IMAGE_EACH_ITERATION convention)."""
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
         rots = self._rot_matrices(idx)
+        r_band = int(np.ceil(ring.r_high))
         pri = []
         for k in range(self.para.k):
             if self.para.mode == "2d":
-                ref_ft = projector.build_projectee_2d(
-                    self.refs[h, k, self.n // 2], pf=self.para.pf)
-                pri.append(projector.project_pixels_2d(ref_ft, rots, col, row,
-                                                       pf=self.para.pf))
+                tab = projector.build_brick_projectee_2d(
+                    self.refs[h, k, self.n // 2], r_band, pf=self.para.pf)
+                pri.append(projector.project_brick_2d(tab, rots, col, row,
+                                                      pf=self.para.pf))
             else:
-                ref_ft = projector.build_projectee_3d(self.refs[h, k],
-                                                      pf=self.para.pf)
-                pri.append(projector.project_pixels_3d(ref_ft, rots, col, row,
-                                                       pf=self.para.pf))
+                tab = projector.build_brick_projectee_3d(
+                    self.refs[h, k], r_band, pf=self.para.pf)
+                pri.append(projector.project_brick_3d(tab, rots, col, row,
+                                                      pf=self.para.pf))
         pri = jnp.stack(pri)  # (K, B, P)
         pri = pri[self.best_class[idx], jnp.arange(len(idx))]
         t = np.array(self.best_trans[idx])
@@ -712,10 +727,7 @@ class Optimiser:
         """_img = mask(translate(_imgOri, offset)) (reCentreImg + reMaskImg,
         src/Optimiser.cpp:6065-6153)."""
         off = jnp.asarray(self.offsets)
-        shifted = translate_ft(
-            fft_ops.fft2_center(fft_ops.ifft2_center(self.imgs_ft_ori)),
-            off[:, 0], off[:, 1],
-        )
+        shifted = translate_ft(self.imgs_ft_ori, off[:, 0], off[:, 1])
         if self.para.zero_mask:
             n = self.n
             alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
@@ -840,8 +852,9 @@ class Optimiser:
             maps = []
             for h in (0, 1):
                 idx = np.nonzero((self.halves == h) & (self.best_class == k))[0]
-                state = reconstructor.empty_state(
-                    self.n, pf=para.pf, mode="3d" if para.mode == "3d" else "2d"
+                state = reconstructor.empty_brick_state(
+                    self.n, r_u, pf=para.pf,
+                    mode="3d" if para.mode == "3d" else "2d",
                 )
                 if len(idx):
                     dat, c, _ = self._gather_ring_data(ring, idx)
@@ -875,28 +888,29 @@ class Optimiser:
                         t_sl = t_d.reshape(b_img * n_draw, 2)[sl]
                         tra = translation_phase(
                             col, row, -t_sl[:, 0], -t_sl[:, 1], self.n)
-                        state = reconstructor.insert_pixels_3d(
+                        state = reconstructor.insert_brick_3d(
                             state, dat[img_i] * tra, c[img_i], rots_all[sl],
                             col, row, w_img[img_i], pf=para.pf,
                             pixel_mask=pmask,
                         )
+                f_c, t_c = reconstructor.finalize_brick(state)
                 if self.sym.n_elements:
-                    state = reconstructor.symmetrize(
-                        state, jnp.asarray(self.sym.rot.astype(np.float32)),
-                        self.max_r, pf=para.pf,
+                    f_c, t_c = reconstructor.symmetrize_cropped(
+                        f_c, t_c, jnp.asarray(self.sym.rot.astype(np.float32)),
+                        r_u, pf=para.pf,
                     )
-                maps.append(state)
+                maps.append((f_c, t_c))
             # golden-standard FSC between the two raw half-F's is computed
             # from reconstructed maps below
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
             vols = [
-                reconstructor.reconstruct(
-                    m["F"], m["T"], fsc_k, self.n, pf=para.pf,
+                reconstructor.reconstruct_cropped(
+                    f_c, t_c, fsc_k, self.n, pf=para.pf,
                     max_radius=r_u, join_half=False,
                 )
-                for m in maps
+                for (f_c, t_c) in maps
             ]
             ft_a, ft_b = fft_ops.fft3_center(vols[0]), fft_ops.fft3_center(vols[1])
             fsc_new = self._golden_fsc(ft_a, ft_b)
@@ -956,10 +970,14 @@ class Optimiser:
             else:
                 self.solvent_flatten(para.perform_mask)
 
-        # resolution from best-class FSC
-        res = int(spectrum.res_p(jnp.asarray(self.fsc[0]),
-                                 para.thres_cutoff_fsc, r_low=1)) \
-            if hasattr(self, "fsc") else self.ladder.res
+        # resolution = best class's FSC crossing (the reference tracks _res
+        # per class and ladders on the best, src/Model.cpp resolution
+        # bookkeeping; round-1 keyed off class 0 only)
+        res = max(
+            int(spectrum.res_p(jnp.asarray(self.fsc[k]),
+                               para.thres_cutoff_fsc, r_low=1))
+            for k in range(para.k)
+        ) if hasattr(self, "fsc") else self.ladder.res
         self.ladder.elevate(res)
         st = self.ladder.transition(para.l_search, para.c_search)
         self.iteration += 1

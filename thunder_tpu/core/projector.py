@@ -19,6 +19,7 @@ projection can be compared directly against observed image spectra.
 
 import jax.numpy as jnp
 
+from ..ops import brick
 from ..ops.fft import fft2_center, fft3_center
 from ..ops.interp import linear_gather, nearest_gather
 from ..ops.kernels import tik_rl, nik_rl
@@ -95,6 +96,64 @@ def project_pixels_2d(img_ft, rot, col, row, pf=2, interp="linear"):
     if interp == "linear":
         return linear_gather(img_ft, coords)
     return nearest_gather(img_ft, coords)
+
+
+def build_brick_projectee_3d(vol_rl, r_max, pf=2, interp="linear",
+                             grid_correct=True):
+    """Real-space volume (n, n, n) -> band-cropped brick gather table
+    (mc, mc, mc, 16). ``r_max`` is the highest image shell the E-step will
+    touch (the ladder's r); the table only stores |k| <= r_max * pf, which
+    keeps it small through most of the frequency ladder (ops.brick)."""
+    ft = build_projectee_3d(vol_rl, pf=pf, interp=interp,
+                            grid_correct=grid_correct)
+    mc = brick.crop_size(r_max, pf)
+    return brick.pack_vol3(brick.crop_center_ft(ft, mc))
+
+
+def build_brick_projectee_2d(img_rl, r_max, pf=2, interp="linear",
+                             grid_correct=True):
+    """2D counterpart -> (mc, mc, 8) bilinear brick table. Leading class
+    axes are allowed: (..., n, n) -> (..., mc, mc, 8)."""
+    ft = build_projectee_2d(img_rl, pf=pf, interp=interp,
+                            grid_correct=grid_correct)
+    mc = brick.crop_size(r_max, pf)
+    m = ft.shape[-1]
+    lo = m // 2 - mc // 2
+    ft = ft[..., lo:lo + mc, lo:lo + mc]
+    return brick.pack_vol2(ft)
+
+
+def slice_coords_3d(rot, col, row, pf=2):
+    """Rotated central-slice coordinates in array (z, y, x) order.
+
+    rot: (..., 3, 3); col/row: (P,) signed integer image frequencies.
+    Returns (..., P, 3) float32."""
+    plane = jnp.stack(
+        [col.astype(jnp.float32) * pf, row.astype(jnp.float32) * pf,
+         jnp.zeros_like(col, dtype=jnp.float32)],
+        axis=-1,
+    )
+    coords = jnp.einsum("...ij,pj->...pi", rot.astype(jnp.float32), plane)
+    return coords[..., ::-1]
+
+
+def slice_coords_2d(rot, col, row, pf=2):
+    plane = jnp.stack(
+        [col.astype(jnp.float32) * pf, row.astype(jnp.float32) * pf], axis=-1
+    )
+    coords = jnp.einsum("...ij,pj->...pi", rot.astype(jnp.float32), plane)
+    return coords[..., ::-1]
+
+
+def project_brick_3d(tab, rot, col, row, pf=2):
+    """Central-slice projection via the brick table: one width-16 row fetch
+    per sample (the TPU replacement for the CUDA texture fetch,
+    gpu/src/Kernel.cu:625-786)."""
+    return brick.gather_vol3(tab, slice_coords_3d(rot, col, row, pf=pf))
+
+
+def project_brick_2d(tab, rot, col, row, pf=2):
+    return brick.gather_vol2(tab, slice_coords_2d(rot, col, row, pf=pf))
 
 
 def project_full_3d(vol_ft, rot, n, max_radius, pf=2):

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dtypes import complex_dtype, real_dtype
+from ..ops import brick
 from ..ops.fft import fft2_center, fft3_center, ifft2_center, ifft3_center
 from ..ops.interp import linear_gather, linear_scatter_add
 from ..ops.kernels import mkb_rl, tik_rl
@@ -144,6 +145,183 @@ def symmetrize(state, sym_rots, max_radius, pf=2):
         f_acc = f_acc + jnp.where(mask, linear_gather(f, rc), 0.0)
         t_acc = t_acc + jnp.where(mask, linear_gather(t, rc), 0.0)
     return {**state, "F": f_acc, "T": t_acc}
+
+
+# ------------------------------------------------------ brick insert path
+
+@partial(jax.jit, static_argnames=("size", "r_max", "pf", "mode"))
+def empty_brick_state(size, r_max, pf=2, mode="3d"):
+    """Band-cropped brick accumulator (ops.brick): the TPU replacement for
+    the padded F/T volumes + atomicAdd inserts. ``r_max`` is the insertion
+    band (the ladder's rU)."""
+    mc = brick.crop_size(r_max, pf)
+    tab = brick.empty_insert3(mc) if mode == "3d" else brick.empty_insert2(mc)
+    return {
+        "tab": tab,
+        "ox": jnp.zeros((), real_dtype),
+        "oy": jnp.zeros((), real_dtype),
+        "counter": jnp.zeros((), real_dtype),
+    }
+
+
+def insert_brick_3d(state, values, ctf, rot, col, row, w, pf=2,
+                    pixel_mask=None):
+    """Scatter one batch of pose-weighted image pixels into the brick
+    accumulator: ONE width-24 row-add per (image, pixel); the Hermitian
+    mirror is deferred to finalize_brick (ops.brick)."""
+    from .projector import slice_coords_3d
+
+    coords = slice_coords_3d(rot, col, row, pf=pf)
+    wv = w[:, None].astype(real_dtype)
+    if pixel_mask is not None:
+        wv = wv * pixel_mask[None, :]
+    fv = values * ctf * wv
+    tv = (ctf**2) * wv
+    return {**state, "tab": brick.insert3(state["tab"], coords, fv, tv)}
+
+
+def insert_brick_2d(state, values, ctf, rot, col, row, w, pf=2,
+                    pixel_mask=None):
+    """2D gridding insert (the reference's insertI2D path,
+    gpu/src/cuthunder.cu:3265). rot: (B, 2, 2) in-plane rotations."""
+    from .projector import slice_coords_2d
+
+    coords = slice_coords_2d(rot, col, row, pf=pf)
+    wv = w[:, None].astype(real_dtype)
+    if pixel_mask is not None:
+        wv = wv * pixel_mask[None, :]
+    fv = values * ctf * wv
+    tv = (ctf**2) * wv
+    return {**state, "tab": brick.insert2(state["tab"], coords, fv, tv)}
+
+
+def finalize_brick(state, mode="3d"):
+    """Fold bricks to voxels + deferred Hermitian mirror -> cropped
+    (F complex, T real)."""
+    fold = brick.fold_insert3 if mode == "3d" else brick.fold_insert2
+    return fold(state["tab"])
+
+
+def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2):
+    """F(k) <- sum_g F(g k) on the band-cropped grid
+    (src/Reconstructor.cpp:2676-2692 SYMMETRIZE_FT). Gathers ride the brick
+    row-fetch: [F.re, F.im, T] packed as 3 channels."""
+    if sym_rots.shape[0] == 0:
+        return f, t
+    mc = f.shape[-1]
+    tab = brick.pack_real3(f.real, f.imag, t)
+    idx = jnp.arange(mc, dtype=jnp.float32) - mc // 2
+    zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    coords = jnp.stack([xx, yy, zz], axis=-1)  # (mc,mc,mc,3) as (x,y,z)
+    r2 = xx**2 + yy**2 + zz**2
+    mask = r2 < float(max_radius * pf + 1) ** 2
+    f_acc, t_acc = f, t
+    for g in range(sym_rots.shape[0]):
+        rot = sym_rots[g].astype(jnp.float32)
+        rc = jnp.einsum("ij,...j->...i", rot, coords)[..., ::-1]
+        ch = brick.gather_real3(tab, rc)  # (mc,mc,mc,3)
+        f_acc = f_acc + jnp.where(
+            mask, jax.lax.complex(ch[..., 0], ch[..., 1]), 0.0)
+        t_acc = t_acc + jnp.where(mask, ch[..., 2], 0.0)
+    return f_acc, t_acc
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "max_radius", "grid_corr",
+                                   "map_wiener", "join_half", "dims"))
+def reconstruct_cropped(
+    f,
+    t,
+    fsc,
+    size,
+    pf=2,
+    max_radius=None,
+    grid_corr=True,
+    map_wiener=True,
+    join_half=False,
+    blob_a=DEFAULT_BLOB_A,
+    blob_alpha=DEFAULT_BLOB_ALPHA,
+    dims=3,
+):
+    """reconstruct() on band-cropped (F, T): the C-balance iteration runs on
+    the small mc grid (the MKB kernel's Fourier support is ~2 voxels, so the
+    cropped circular convolution is exact to the margin in ops.brick), then
+    the filtered spectrum is zero-embedded into the full padded grid for the
+    final inverse FFT. Returns the real n-box map."""
+    if max_radius is None:
+        max_radius = size // 2 - 2
+    mc = f.shape[-1]
+    m = size * pf
+    r2 = _radius_sq_grid(mc, dims)
+    in_rad = r2 < float(max_radius * pf) ** 2
+    fftc = fft3_center if dims == 3 else fft2_center
+    ifftc = ifft3_center if dims == 3 else ifft2_center
+
+    dc = t[(mc // 2,) * dims]
+    sf = 1.0 / jnp.maximum(dc, 1e-30)
+    f = f * sf
+    t = t * sf
+
+    if map_wiener:
+        u = jnp.rint(jnp.sqrt(r2)).astype(jnp.int32)
+        shell = jnp.clip(u // pf, 0, fsc.shape[0] - 1)
+        fsc_px = jnp.where(u // pf >= fsc.shape[0], 0.0, fsc[shell])
+        fsc_px = jnp.clip(fsc_px, FSC_BASE_L, FSC_BASE_H)
+        if join_half:
+            fsc_px = jnp.sqrt(2 * fsc_px / (1 + fsc_px))
+        wien = (r2 >= float(WIENER_FACTOR_MIN_R * pf) ** 2) & in_rad
+        t = jnp.where(wien, t / fsc_px, t)
+
+    t = jnp.maximum(t, 1e-25)
+    w = jnp.where(in_rad, 1.0, 0.0).astype(real_dtype)
+
+    if grid_corr:
+        taper_r = jnp.sqrt(_radius_sq_grid(mc, dims)) / mc
+        nf = mkb_rl(jnp.zeros(()), blob_a * pf, blob_alpha)
+        taper = (mkb_rl(taper_r, blob_a * pf, blob_alpha) / nf).astype(real_dtype)
+
+        def body(carry):
+            w, diff_c, diff_c_prev, n_no_dec, it = carry
+            c = (t * w).astype(complex_dtype)
+            c_rl = ifftc(c)
+            c = fftc(c_rl * taper)
+            c_abs = jnp.abs(c)
+            w = jnp.where(in_rad, w / jnp.maximum(c_abs, 1e-6), w)
+            new_diff = jnp.max(jnp.where(in_rad, jnp.abs(c_abs - 1.0), 0.0))
+            n_no_dec = jnp.where(
+                new_diff > diff_c * DIFF_C_DECREASE_THRES, n_no_dec + 1, 0
+            )
+            return w, new_diff, diff_c, n_no_dec, it + 1
+
+        def cond(carry):
+            _, diff_c, _, n_no_dec, it = carry
+            not_done = (diff_c >= DIFF_C_THRES) & (
+                (it < MIN_N_ITER_BALANCE) | (n_no_dec < N_DIFF_C_NO_DECREASE)
+            )
+            return (it < MAX_N_ITER_BALANCE) & not_done
+
+        big = jnp.asarray(jnp.finfo(real_dtype).max, real_dtype)
+        w, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (w, big, big, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        )
+    else:
+        w = jnp.where(in_rad, 1.0 / jnp.maximum(jnp.abs(t), 1e-6), 0.0)
+
+    fw = jnp.where(in_rad, f * w, 0.0)
+    fw_full = brick.embed_center_ft(fw, m)
+    pad_rl = ifftc(fw_full).real
+    lo = m // 2 - size // 2
+    sl = tuple(slice(lo, lo + size) for _ in range(dims))
+    out = pad_rl[sl]
+
+    idx = jnp.arange(size, dtype=jnp.float32) - size // 2
+    grids = []
+    for ax in range(dims):
+        s = [1] * dims
+        s[ax] = size
+        grids.append(idx.reshape(s))
+    r_rl = jnp.sqrt(sum(g**2 for g in grids)) / (pf * size)
+    return out / tik_rl(r_rl)
 
 
 def _radius_sq_grid(m, dims):

@@ -1,0 +1,259 @@
+"""Brick-packed spectral volumes — the TPU gather/scatter kernel layout.
+
+The hot paths of the reference are a texture-interpolated central-slice
+gather (gpu/src/Kernel.cu:625-786 kernel_Project3D) and an atomicAdd
+trilinear gridding scatter (gpu/src/Kernel.cu:2276-3126 kernel_InsertF/T).
+TPUs have neither texture units nor atomics, and XLA's gather/scatter cost
+is dominated by a fixed per-INDEX cost (~10 ns) that is almost independent
+of how many contiguous bytes each index moves (measured on v5e). The
+TPU-native layout is therefore:
+
+- crop the padded centered spectrum to the active frequency band
+  (|k| <= r_max * pf), since the ladder keeps r far below Nyquist for most
+  of a run, and
+- pack every 2x2x2 interpolation neighbourhood ("brick") into ONE row of a
+  flat table, so a trilinear complex gather is a single width-16 row fetch
+  ([re x 8, im x 8]) + an 8-wide dot, and a gridding insert is a single
+  width-24 row scatter-add ([F.re x 8, F.im x 8, T x 8]).
+
+The Hermitian mirror of the insert (the reference scatters value at +k and
+conj(value) at -k, src/Reconstructor.cpp:569-928) is deferred: scatter only
+at +k, and after folding bricks back to voxels apply
+    F <- F + conj(reflect(F)),  T <- T + reflect(T)
+which is identical by linearity and halves the scatter count. Crop sizes are
+odd so reflect() is a pure axis flip.
+
+Coordinates are SIGNED centered units in array order (z, y, x) for 3D /
+(y, x) for 2D, like ops.interp; voxel index = coord + mc//2. Out-of-band
+samples gather 0 / scatter nowhere.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def crop_half(r_max, pf):
+    """Crop half-width: covers |k| <= r_max*pf with a +2 margin for the
+    trilinear corner and the gridding kernel's convolution support."""
+    return int(r_max) * pf + 2
+
+
+def crop_size(r_max, pf):
+    return 2 * crop_half(r_max, pf) + 1  # odd
+
+
+def crop_center_ft(ft_full, mc):
+    """Center-crop a centered spectrum (m,)*d -> (mc,)*d."""
+    m = ft_full.shape[-1]
+    lo = m // 2 - mc // 2
+    d = ft_full.ndim
+    sl = (Ellipsis,) + tuple(slice(lo, lo + mc) for _ in range(d if d <= 3 else 3))
+    # only crop trailing spatial dims equal to ndim of spectrum
+    sl = tuple(slice(lo, lo + mc) for _ in range(ft_full.ndim))
+    return ft_full[sl]
+
+
+def embed_center_ft(ft_crop, m):
+    """Zero-embed a centered cropped spectrum (mc,)*d back into (m,)*d."""
+    mc = ft_crop.shape[-1]
+    lo = m // 2 - mc // 2
+    widths = [(lo, m - mc - lo)] * ft_crop.ndim
+    return jnp.pad(ft_crop, widths)
+
+
+# --------------------------------------------------------------------- 3D
+
+def _corners3(coords, mc):
+    """coords (..., 3) centered (z, y, x) -> (flat brick idx, w8, valid)."""
+    base = jnp.floor(coords)
+    frac = (coords - base).astype(jnp.float32)
+    bi = base.astype(jnp.int32) + mc // 2
+    idx = (bi[..., 0] * mc + bi[..., 1]) * mc + bi[..., 2]
+    valid = jnp.all((bi >= 0) & (bi < mc - 1), axis=-1)
+    fz, fy, fx = frac[..., 0], frac[..., 1], frac[..., 2]
+    wz = jnp.stack([1 - fz, fz], -1)
+    wy = jnp.stack([1 - fy, fy], -1)
+    wx = jnp.stack([1 - fx, fx], -1)
+    w8 = (wz[..., :, None, None] * wy[..., None, :, None]
+          * wx[..., None, None, :]).reshape(coords.shape[:-1] + (8,))
+    return idx, w8, valid
+
+
+def pack_vol3(vol_ft):
+    """Centered cropped complex spectrum (mc, mc, mc) -> gather table
+    (mc, mc, mc, 16) f32 rows [re(corner 0..7), im(corner 0..7)], corner
+    order (dz, dy, dx) binary."""
+    mc = vol_ft.shape[0]
+    vp = jnp.pad(vol_ft, ((0, 1), (0, 1), (0, 1)))
+    parts = [vp[dz:dz + mc, dy:dy + mc, dx:dx + mc]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    st = jnp.stack(parts, -1)  # (mc, mc, mc, 8) complex
+    return jnp.concatenate(
+        [st.real.astype(jnp.float32), st.imag.astype(jnp.float32)], -1)
+
+
+def gather_vol3(tab, coords):
+    """Trilinear complex gather: ONE row-take per sample.
+
+    tab: (mc, mc, mc, 16); coords: (..., 3) centered (z, y, x).
+    Returns (...,) complex64."""
+    mc = tab.shape[0]
+    idx, w8, valid = _corners3(coords, mc)
+    idx = jnp.where(valid, idx, 0)
+    rows = jnp.take(tab.reshape(mc**3, 16), idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (16,))
+    re = jnp.sum(rows[..., :8] * w8, -1)
+    im = jnp.sum(rows[..., 8:] * w8, -1)
+    return jnp.where(valid, jax.lax.complex(re, im), 0.0)
+
+
+def pack_real3(*vols):
+    """Pack C real cropped volumes into a (mc, mc, mc, 8C) gather table."""
+    mc = vols[0].shape[0]
+    chans = []
+    for v in vols:
+        vp = jnp.pad(v, ((0, 1), (0, 1), (0, 1)))
+        parts = [vp[dz:dz + mc, dy:dy + mc, dx:dx + mc]
+                 for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+        chans.append(jnp.stack(parts, -1).astype(jnp.float32))
+    return jnp.concatenate(chans, -1)
+
+
+def gather_real3(tab, coords):
+    """Trilinear gather of C packed real channels: returns (..., C)."""
+    mc = tab.shape[0]
+    c = tab.shape[-1] // 8
+    idx, w8, valid = _corners3(coords, mc)
+    idx = jnp.where(valid, idx, 0)
+    rows = jnp.take(tab.reshape(mc**3, 8 * c), idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (c, 8))
+    out = jnp.sum(rows * w8[..., None, :], -1)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def empty_insert3(mc):
+    """Flat insert accumulator with a trailing drop row."""
+    return jnp.zeros((mc**3 + 1, 24), jnp.float32)
+
+
+def insert3(tab, coords, fv, tv, w=None):
+    """Scatter pose-weighted pixels: ONE width-24 row-add per sample.
+
+    tab: (mc^3+1, 24); coords (..., 3); fv (...,) complex; tv (...,) real;
+    w: optional (...,) extra real weight folded into both F and T."""
+    mc = round((tab.shape[0] - 1) ** (1 / 3))
+    idx, w8, valid = _corners3(coords, mc)
+    idx = jnp.where(valid, idx, mc**3)
+    if w is not None:
+        w8 = w8 * w[..., None]
+    contrib = jnp.concatenate(
+        [fv.real[..., None] * w8, fv.imag[..., None] * w8, tv[..., None] * w8],
+        -1,
+    )
+    return tab.at[idx.reshape(-1)].add(contrib.reshape(-1, 24))
+
+
+def fold_insert3(tab, hermitian=True):
+    """Fold the brick accumulator back to voxels and apply the deferred
+    Hermitian mirror. Returns (F (mc,mc,mc) complex64, T (mc,mc,mc) f32)."""
+    mc = round((tab.shape[0] - 1) ** (1 / 3))
+    bt = tab[:-1].reshape(mc, mc, mc, 24)
+    fr = jnp.zeros((mc, mc, mc), jnp.float32)
+    fi = jnp.zeros((mc, mc, mc), jnp.float32)
+    tt = jnp.zeros((mc, mc, mc), jnp.float32)
+    s = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ez = mc - dz if dz else mc
+                ey = mc - dy if dy else mc
+                ex = mc - dx if dx else mc
+                blk = bt[:ez, :ey, :ex]
+                fr = fr.at[dz:, dy:, dx:].add(blk[..., s])
+                fi = fi.at[dz:, dy:, dx:].add(blk[..., 8 + s])
+                tt = tt.at[dz:, dy:, dx:].add(blk[..., 16 + s])
+                s += 1
+    f = jax.lax.complex(fr, fi)
+    if hermitian:
+        f = f + jnp.conj(f[::-1, ::-1, ::-1])
+        tt = tt + tt[::-1, ::-1, ::-1]
+    return f, tt
+
+
+# --------------------------------------------------------------------- 2D
+
+def _corners2(coords, mc):
+    base = jnp.floor(coords)
+    frac = (coords - base).astype(jnp.float32)
+    bi = base.astype(jnp.int32) + mc // 2
+    idx = bi[..., 0] * mc + bi[..., 1]
+    valid = jnp.all((bi >= 0) & (bi < mc - 1), axis=-1)
+    fy, fx = frac[..., 0], frac[..., 1]
+    wy = jnp.stack([1 - fy, fy], -1)
+    wx = jnp.stack([1 - fx, fx], -1)
+    w4 = (wy[..., :, None] * wx[..., None, :]).reshape(coords.shape[:-1] + (4,))
+    return idx, w4, valid
+
+
+def pack_vol2(img_ft):
+    mc = img_ft.shape[-1]
+    vp = jnp.pad(img_ft, tuple([(0, 0)] * (img_ft.ndim - 2)) + ((0, 1), (0, 1)))
+    parts = [vp[..., dy:dy + mc, dx:dx + mc] for dy in (0, 1) for dx in (0, 1)]
+    st = jnp.stack(parts, -1)
+    return jnp.concatenate(
+        [st.real.astype(jnp.float32), st.imag.astype(jnp.float32)], -1)
+
+
+def gather_vol2(tab, coords):
+    """Bilinear complex gather from a (mc, mc, 8) table; coords (..., 2)
+    centered (y, x)."""
+    mc = tab.shape[0]
+    idx, w4, valid = _corners2(coords, mc)
+    idx = jnp.where(valid, idx, 0)
+    rows = jnp.take(tab.reshape(mc**2, 8), idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (8,))
+    re = jnp.sum(rows[..., :4] * w4, -1)
+    im = jnp.sum(rows[..., 4:] * w4, -1)
+    return jnp.where(valid, jax.lax.complex(re, im), 0.0)
+
+
+def empty_insert2(mc):
+    return jnp.zeros((mc**2 + 1, 12), jnp.float32)
+
+
+def insert2(tab, coords, fv, tv, w=None):
+    mc = round((tab.shape[0] - 1) ** 0.5)
+    idx, w4, valid = _corners2(coords, mc)
+    idx = jnp.where(valid, idx, mc**2)
+    if w is not None:
+        w4 = w4 * w[..., None]
+    contrib = jnp.concatenate(
+        [fv.real[..., None] * w4, fv.imag[..., None] * w4, tv[..., None] * w4],
+        -1,
+    )
+    return tab.at[idx.reshape(-1)].add(contrib.reshape(-1, 12))
+
+
+def fold_insert2(tab, hermitian=True):
+    mc = round((tab.shape[0] - 1) ** 0.5)
+    bt = tab[:-1].reshape(mc, mc, 12)
+    fr = jnp.zeros((mc, mc), jnp.float32)
+    fi = jnp.zeros((mc, mc), jnp.float32)
+    tt = jnp.zeros((mc, mc), jnp.float32)
+    s = 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ey = mc - dy if dy else mc
+            ex = mc - dx if dx else mc
+            blk = bt[:ey, :ex]
+            fr = fr.at[dy:, dx:].add(blk[..., s])
+            fi = fi.at[dy:, dx:].add(blk[..., 4 + s])
+            tt = tt.at[dy:, dx:].add(blk[..., 8 + s])
+            s += 1
+    f = jax.lax.complex(fr, fi)
+    if hermitian:
+        f = f + jnp.conj(f[::-1, ::-1])
+        tt = tt + tt[::-1, ::-1]
+    return f, tt

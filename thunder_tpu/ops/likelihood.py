@@ -155,26 +155,27 @@ def local_search_weights(dat, ctf, sig_rcp, proj, tra, w_r, w_t, w_d=None,
     if w_d is None:
         w_d = jnp.full((b, d_ax), 1.0 / d_ax, dtype=real_dtype)
 
-    # Q[b,d,p] = -2 sr ctf_d conj(dat); E[b,d,p] = sr ctf_d^2
-    q = (-2.0 * sig_rcp[:, None, :] * ctf_d * pm) * jnp.conj(dat)[:, None, :]
-    e = sig_rcp[:, None, :] * ctf_d**2 * pm
-
-    # term2[b,d,r] = sum_p E |proj|^2
-    p2 = jnp.abs(proj) ** 2
-    term2 = jnp.einsum("bdp,brp->bdr", e, p2, preferred_element_type=jnp.float32)
-    # term1[b,d,r,t] = Re sum_p Q T_t P_r
-    qt_r = jnp.einsum("bdp,btp->bdtp", q.real, tra.real) - jnp.einsum(
-        "bdp,btp->bdtp", q.imag, tra.imag
-    )
-    qt_i = jnp.einsum("bdp,btp->bdtp", q.real, tra.imag) + jnp.einsum(
-        "bdp,btp->bdtp", q.imag, tra.real
-    )
-    term1 = jnp.einsum(
-        "bdtp,brp->bdrt", qt_r, proj.real, preferred_element_type=jnp.float32
-    ) - jnp.einsum(
-        "bdtp,brp->bdrt", qt_i, proj.imag, preferred_element_type=jnp.float32
-    )
-    log_l = term1 + term2[..., None]  # (B, D, R, T)
+    # loop the (small, static) defocus axis so the largest intermediate is
+    # (B, T, P) — the round-1 (B, D, T, P) qt tensor OOM'd at realistic B
+    p2 = proj.real**2 + proj.imag**2  # (B, R, P)
+    dat_c = jnp.conj(dat)
+    log_l_d = []
+    for d in range(d_ax):
+        c_d = ctf_d[:, d, :]
+        q = (-2.0 * sig_rcp * c_d * pm) * dat_c           # (B, P) complex
+        e = sig_rcp * c_d**2 * pm                         # (B, P)
+        term2 = jnp.einsum("bp,brp->br", e, p2,
+                           preferred_element_type=jnp.float32)
+        qt = q[:, None, :] * tra                          # (B, T, P) complex
+        term1 = jnp.einsum(
+            "btp,brp->brt", qt.real, proj.real,
+            preferred_element_type=jnp.float32,
+        ) - jnp.einsum(
+            "btp,brp->brt", qt.imag, proj.imag,
+            preferred_element_type=jnp.float32,
+        )
+        log_l_d.append(term1 + term2[..., None])          # (B, R, T)
+    log_l = jnp.stack(log_l_d, axis=1)                    # (B, D, R, T)
     base = jnp.max(log_l, axis=(1, 2, 3), keepdims=True)
     w = jnp.exp(log_l - base)
     u_r = jnp.einsum("bdrt,bd,bt->br", w, w_d, w_t)
