@@ -1,0 +1,115 @@
+"""Sharded engine semantics: the SPMD refinement programs must produce the
+same results on a 1-device mesh and an 8-device (half=2, data=4) mesh.
+
+This is the property the reference gets from its MPI determinism contract
+(per-rank particle ranges + per-thread RNG engines, src/Database.cpp:621,
+src/Parallel.cpp:17-67); here it holds because every random draw is keyed by
+the GLOBAL image index (engine.plane_keys) and no E-step computation crosses
+images. Reductions (insert psum, stat psum) may reorder float sums across
+shards, so reconstructed maps are compared with a small tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.config import Para
+from thunder_tpu.core import projector
+from thunder_tpu.core.optimiser import Optimiser
+from thunder_tpu.geom import quat
+from thunder_tpu.ops import ctf as ctf_ops
+from thunder_tpu.ops import fft as fft_ops
+from thunder_tpu.ops.mask import soft_mask_shape
+from thunder_tpu.ops.translate import translate_ft
+from thunder_tpu.parallel.mesh import make_mesh
+
+N = 24
+B = 16
+
+
+def _dataset(seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.array(np.asarray(soft_mask_shape((N, N, N), 5.0, 2.5)))
+    vol += np.roll(vol, 4, axis=1) * 0.7
+    quats = np.asarray(quat.random_quat(jax.random.PRNGKey(1), B))
+    rots = quat.rotate3d(jnp.asarray(quats))
+    trans = rng.normal(0, 1.0, (B, 2)).astype(np.float32)
+    cp = dict(voltage=np.full(B, 300e3), defocus_u=rng.uniform(1e4, 2e4, B),
+              defocus_v=rng.uniform(1e4, 2e4, B), defocus_theta=np.zeros(B),
+              cs=np.zeros(B), amp_contrast=np.full(B, 0.1),
+              phase_shift=np.zeros(B))
+    cp = {k: v.astype(np.float32) for k, v in cp.items()}
+    ref_ft = projector.build_projectee_3d(jnp.asarray(vol, jnp.float32), pf=2)
+    imgs_ft = projector.project_full_3d(ref_ft, rots, N, N // 2 - 2, pf=2)
+    f = jnp.arange(N) - N // 2
+    colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+    c2d = ctf_ops.ctf_pixels(
+        colg.reshape(-1).astype(jnp.float32),
+        rowg.reshape(-1).astype(jnp.float32), N, 2.0,
+        *[jnp.asarray(cp[k])[:, None] for k in
+          ("voltage", "defocus_u", "defocus_v", "defocus_theta", "cs",
+           "amp_contrast", "phase_shift")]).reshape(B, N, N)
+    imgs_ft = translate_ft(imgs_ft * c2d, jnp.asarray(trans[:, 0]),
+                           jnp.asarray(trans[:, 1]))
+    imgs = np.array(np.asarray(fft_ops.ifft2_center(imgs_ft).real))
+    imgs += rng.normal(0, 0.05 * imgs.std(), imgs.shape).astype(np.float32)
+    return vol, imgs.astype(np.float32), cp
+
+
+def _build(mesh, vol, imgs, cp):
+    para = Para(size=N, pixel_size=2.0, k=1, mask_radius=22.0, m_s=128,
+                m_l_r=16, m_l_t=4, m_l_d=4, m_reco=4, trans_s=1.5,
+                init_res=20.0, global_search_res=6.0, sym="C1",
+                save_ref_each_iter=False, save_thu_each_iter=False,
+                image_batch=2, seed=3)
+    opt = Optimiser(para, mesh=mesh)
+    opt.set_data(imgs, cp)
+    opt.init_reference(vol)
+    opt.init_sigma()
+    return opt
+
+
+@pytest.fixture(scope="module")
+def pair():
+    vol, imgs, cp = _dataset()
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    o1 = _build(make_mesh(n_devices=1), vol, imgs, cp)
+    o8 = _build(make_mesh(n_devices=8), vol, imgs, cp)
+    return o1, o8
+
+
+def test_one_iteration_matches_across_meshes(pair):
+    o1, o8 = pair
+    r1 = o1.run_iteration()
+    r8 = o8.run_iteration()
+
+    # E-step results are per-image: must match to float-accumulation noise
+    for k in o1.par:
+        a = o1._from_plane(o1.par[k])
+        b = o8._from_plane(o8.par[k])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"par[{k}]")
+
+    # reductions (insert psum / stat psum) reorder sums across shards
+    np.testing.assert_allclose(np.asarray(o1.refs), np.asarray(o8.refs),
+                               rtol=1e-3, atol=1e-4 * float(
+                                   np.abs(np.asarray(o1.refs)).max()))
+    np.testing.assert_allclose(o1.fsc, o8.fsc, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(o1.sig), np.asarray(o8.sig),
+                               rtol=1e-3)
+    assert r1["res_shell"] == r8["res_shell"]
+    assert r1["search_type"] == r8["search_type"]
+
+
+def test_second_iteration_still_consistent(pair):
+    """The consistency must survive state round-trips (par scatter/gather,
+    sigma update, reference averaging)."""
+    o1, o8 = pair
+    o1.run_iteration()
+    o8.run_iteration()
+    a = o1._from_plane(o1.par["topR"])
+    b = o8._from_plane(o8.par["topR"])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(o1.fsc, o8.fsc, atol=5e-3)

@@ -1,0 +1,148 @@
+"""2D classification end-to-end: a 2-class synthetic stack must separate
+into its classes, recover in-plane rotations, and write the class-average
+stack (MODE_2D paths of src/Optimiser.cpp; insertI2D
+gpu/src/cuthunder.cu:3265; 2D VMS rotation filter
+src/Geometry/DirectionalStat.cpp:264-357)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.config import Para
+from thunder_tpu.core import projector
+from thunder_tpu.core.optimiser import Optimiser
+from thunder_tpu.geom import quat
+from thunder_tpu.ops import ctf as ctf_ops
+from thunder_tpu.ops import fft as fft_ops
+from thunder_tpu.ops.translate import translate_ft
+
+N = 32
+B = 96
+
+
+def _class_images(n):
+    g = np.mgrid[:n, :n] - n // 2
+    blob = lambda c, s: np.exp(
+        -((g[0] - c[0]) ** 2 + (g[1] - c[1]) ** 2) / (2 * s**2))
+    # both classes asymmetric (no in-plane rotational symmetry), else the
+    # recovered angle is ill-posed
+    a = blob((0, 5), 2.5) + 0.8 * blob((2, -5), 2.0)
+    b = blob((-4, 0), 3.5) + 0.7 * blob((5, 3), 1.8) + 0.5 * blob((2, -4), 1.5)
+    return np.stack([a, b]).astype(np.float32)
+
+
+def _project_full_2d(img_ft_padded, rots, n, max_radius, pf=2):
+    f = jnp.arange(n, dtype=jnp.float32) - n // 2
+    colg = jnp.broadcast_to(f[None, :], (n, n)).reshape(-1)
+    rowg = jnp.broadcast_to(f[:, None], (n, n)).reshape(-1)
+    vals = projector.project_pixels_2d(img_ft_padded, rots, colg, rowg, pf)
+    vals = vals.reshape(rots.shape[:-2] + (n, n))
+    r2 = (colg**2 + rowg**2).reshape(n, n)
+    return jnp.where(r2 < float(max_radius) ** 2, vals, 0.0)
+
+
+def _make_dataset(seed=0):
+    rng = np.random.default_rng(seed)
+    classes = _class_images(N)
+    true_cls = (np.arange(B) % 2).astype(np.int32)
+    phis = rng.uniform(0, 2 * np.pi, B).astype(np.float32)
+    trans = rng.normal(0, 1.0, (B, 2)).astype(np.float32)
+    cp = dict(voltage=np.full(B, 300e3), defocus_u=rng.uniform(1e4, 2e4, B),
+              defocus_v=rng.uniform(1e4, 2e4, B), defocus_theta=np.zeros(B),
+              cs=np.zeros(B), amp_contrast=np.full(B, 0.1),
+              phase_shift=np.zeros(B))
+    cp = {k: v.astype(np.float32) for k, v in cp.items()}
+
+    fts = projector.build_projectee_2d(jnp.asarray(classes), pf=2)
+    rots = quat.rotate2d(jnp.asarray(phis))
+    imgs_ft = jnp.stack([
+        _project_full_2d(fts[true_cls[i]], rots[i], N, N // 2 - 2, pf=2)
+        for i in range(B)
+    ])
+    f = jnp.arange(N) - N // 2
+    colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+    c2d = ctf_ops.ctf_pixels(
+        colg.reshape(-1).astype(jnp.float32),
+        rowg.reshape(-1).astype(jnp.float32), N, 2.0,
+        *[jnp.asarray(cp[k])[:, None] for k in
+          ("voltage", "defocus_u", "defocus_v", "defocus_theta", "cs",
+           "amp_contrast", "phase_shift")]).reshape(B, N, N)
+    imgs_ft = translate_ft(imgs_ft * c2d, jnp.asarray(trans[:, 0]),
+                           jnp.asarray(trans[:, 1]))
+    imgs = np.array(np.asarray(fft_ops.ifft2_center(imgs_ft).real))
+    imgs += rng.normal(0, 0.1 * imgs.std(), imgs.shape).astype(np.float32)
+    return classes, imgs.astype(np.float32), true_cls, phis, cp
+
+
+@pytest.fixture(scope="module")
+def classified(tmp_path_factory):
+    classes, imgs, true_cls, phis, cp = _make_dataset()
+    out = tmp_path_factory.mktemp("cls2d")
+    para = Para(mode="2d", k=2, size=N, pixel_size=2.0, mask_radius=26.0,
+                m_s=256, m_l_r=16, m_l_t=4, m_l_d=4, m_reco=8, trans_s=1.5,
+                init_res=8.0, global_search_res=4.2, sym="C1",
+                save_ref_each_iter=True, save_thu_each_iter=True,
+                output_directory=str(out), seed=11)
+    opt = Optimiser(para)
+    opt.set_data(imgs, cp)
+    opt.init_reference()
+    opt.init_sigma()
+    history = opt.run(max_iter=4)
+    return classes, opt, history, true_cls, phis, out
+
+
+def test_classes_separate(classified):
+    _, opt, _, true_cls, _, _ = classified
+    est = opt.best_class
+    # purity under the best label permutation
+    agree = (est == true_cls).mean()
+    purity = max(agree, 1 - agree)
+    assert purity > 0.75, purity
+
+
+def test_class_averages_correlate(classified):
+    classes, opt, _, true_cls, _, _ = classified
+    refs = np.asarray((opt.refs[0] + opt.refs[1]) / 2)  # (K, n, n)
+
+    def rot_corr(a, b):
+        """Peak normalized cross-correlation over in-plane rotation (the
+        recovered average is rotated by an arbitrary global angle)."""
+        fa = projector.build_projectee_2d(jnp.asarray(a), pf=2)
+        best = -1.0
+        for phi in np.linspace(0, 2 * np.pi, 48, endpoint=False):
+            rot = quat.rotate2d(jnp.asarray(phi, jnp.float32))
+            ar = np.asarray(fft_ops.ifft2_center(
+                _project_full_2d(fa, rot, N, N // 2 - 2)).real)
+            c = np.corrcoef(ar.ravel(), b.ravel())[0, 1]
+            best = max(best, c)
+        return best
+
+    # each ground-truth class image matches one recovered average
+    cors = np.array([[rot_corr(classes[i], refs[k]) for k in range(2)]
+                     for i in range(2)])
+    assert max(cors[0, 0] + cors[1, 1], cors[0, 1] + cors[1, 0]) > 1.3, cors
+
+
+def test_rotations_recovered_2d(classified):
+    _, opt, _, true_cls, phis, _ = classified
+    est_phi = opt.best_phi
+    # within each estimated class, the recovered angles must differ from the
+    # truth by a CONSTANT global offset (mod symmetry of the class image)
+    est = opt.best_class
+    for k in range(2):
+        sel = est == k
+        if sel.sum() < 8:
+            continue
+        d = (est_phi[sel] - phis[sel]) % (2 * np.pi)
+        # circular concentration of the offset
+        r = np.abs(np.exp(1j * d).mean())
+        assert r > 0.55, (k, r)
+
+
+def test_outputs_written(classified):
+    _, opt, history, _, _, out = classified
+    assert (out / f"Reference_Round_{len(history):03d}.mrcs").exists() or \
+        (out / f"Reference_Round_{opt.iteration:03d}.mrcs").exists()
+    assert (out / f"Meta_Round_{opt.iteration:03d}.thu").exists()

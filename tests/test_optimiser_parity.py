@@ -88,31 +88,30 @@ def test_refresh_scale_detects_intensity():
     assert s3[0] > s1[0] * 0.9
 
 
-def test_norm_correction_shrinks_residual_spread():
-    """One application of normCorrection must reduce the relative spread of
-    per-image residual power in the noise-dominated regime (the formula
-    assumes residual ~ noise; the reference applies it every round)."""
+def test_norm_correction_equalizes_noise_power():
+    """normCorrection rescales each image by sqrt(median / norm_l)
+    (src/Optimiser.cpp:6201-6394). The formula assumes the rank-1 residual
+    is noise; in the exactly-noise case (zero reference -> residual =
+    |dat|^2) one application must equalize the per-image band power to the
+    median."""
     opt = _make_opt(noise=1.0)
+    opt.refs = opt.refs * 0.0
 
     def residual_norms():
-        ring = opt._ring()
-        out = []
-        for h in (0, 1):
-            idx = np.nonzero(opt.halves == h)[0]
-            dat, c, _ = opt._gather_ring_data(ring, idx)
-            pri = opt._predicted_slices(ring, idx, h)
-            out.append(np.asarray(
-                jnp.sum(jnp.abs(dat - c * pri) ** 2, axis=-1)))
-        return np.concatenate(out)
+        _, _, _, _, norms, _ = opt._residual_stats()
+        sel = opt.plane_valid > 0
+        return norms[sel].sum(axis=-1)
 
     # perturb per-image intensity after preprocessing
     fac = np.linspace(0.5, 2.0, B).astype(np.float32)
-    opt.imgs_ft = opt.imgs_ft * jnp.asarray(fac)[:, None, None]
-    opt.imgs_ft_ori = opt.imgs_ft_ori * jnp.asarray(fac)[:, None, None]
+    fac_p = jnp.asarray(opt._to_plane(fac))[..., None, None]
+    opt.imgs_ft = opt.imgs_ft * fac_p
+    opt.imgs_ft_ori = opt.imgs_ft_ori * fac_p
     before = residual_norms()
     opt.norm_correction()
     after = residual_norms()
-    assert (after.std() / after.mean()) < (before.std() / before.mean())
+    assert (after.std() / after.mean()) < 0.02 < (before.std() / before.mean())
+    np.testing.assert_allclose(after, np.median(before), rtol=1e-3)
 
 
 def test_re_centre_accumulates_offsets_and_zeroes_translation():
@@ -120,10 +119,11 @@ def test_re_centre_accumulates_offsets_and_zeroes_translation():
     tr = np.random.default_rng(3).normal(0, 1.5, (B, 2)).astype(np.float32)
     opt.best_trans = tr.copy()
     opt.re_centre_img()
-    assert np.allclose(opt.offsets, -tr)
+    assert np.allclose(opt._from_plane(opt.offsets), -tr)
     assert np.allclose(opt.best_trans, 0)
-    # particle support moved with it
-    assert np.allclose(np.asarray(opt.par["topT"]), -tr, atol=1e-5)
+    # particle support points moved into the re-centred frame
+    assert np.allclose(opt._from_plane(opt.par["t"].mean(axis=2)), -tr,
+                       atol=1e-5)
 
 
 def test_solvent_flatten_zeroes_background():

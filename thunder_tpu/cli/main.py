@@ -69,7 +69,9 @@ def cmd_run(args):
     history = opt.run()
     opt.save_outputs(final=True)
     for rec in history:
-        print(json.dumps(rec))
+        print(json.dumps(
+            rec, default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o)
+        ))
 
 
 def cmd_project(args):
@@ -95,7 +97,15 @@ def cmd_project(args):
         sl = translate_ft(sl, jnp.asarray(tr[s : s + 256, 0]),
                           jnp.asarray(tr[s : s + 256, 1]))
         out.append(np.asarray(fft_ops.ifft2_center(sl).real))
-    write_mrc(args.output, np.concatenate(out), voxel_size=args.pixel_size)
+    stack = np.concatenate(out)
+    if args.noise > 0:
+        # synthetic round-trip oracle: additive Gaussian noise relative to
+        # the projection std (a noiseless stack breaks the background
+        # normalisation every real pipeline relies on)
+        rng = np.random.default_rng(args.seed)
+        stack = stack + rng.normal(
+            0, args.noise * stack.std(), stack.shape).astype(np.float32)
+    write_mrc(args.output, stack, voxel_size=args.pixel_size)
     print(f"wrote {ds.n} projections to {args.output}")
 
 
@@ -334,6 +344,9 @@ def main(argv=None):
     s.add_argument("volume"); s.add_argument("thu"); s.add_argument("output")
     s.add_argument("--pf", type=int, default=2)
     s.add_argument("--pixel-size", type=float, default=1.0)
+    s.add_argument("--noise", type=float, default=0.0,
+                   help="additive Gaussian noise, relative to stack std")
+    s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_project)
 
     s = sub.add_parser("reconstruct")

@@ -1,17 +1,26 @@
 """The refinement driver — TPU-native counterpart of the reference Optimiser
 (include/Optimiser.h:77-1183, src/Optimiser.cpp) and Model
-(src/Model.cpp): config -> state -> jitted per-iteration steps -> thin host
-loop. The MPI master/hemisphere topology collapses into array axes: images
-carry a half-assignment (golden standard, src/Parallel.cpp:17-67), every
-statistic is a batched reduction, and decisions are host scalars updated once
-per iteration (no master rank).
+(src/Model.cpp): config -> state -> sharded jitted per-phase programs ->
+thin host loop.
 
-Current scope (build plan step 3, SURVEY.md section 7): 2D/3D global-scan
-E-step (phase A), sigma M-step, per-half gridding reconstruction with
-Wiener-FSC, golden-standard FSC + hemisphere low-band averaging, and the
-frequency-ladder / search-type state machine (T_VARI rule,
-src/Model.cpp:1147-1727). The local particle-filter phase (B) plugs in via
-core.particle (next build step).
+The MPI master/hemisphere topology collapses into the HALF-PLANE layout:
+every per-image quantity lives as a ``(2, S, ...)`` array — plane 0 =
+hemisphere A, plane 1 = hemisphere B (golden standard,
+src/Parallel.cpp:17-67), S padded slots per hemisphere — sharded over the
+``(half, data)`` device mesh by ``parallel.engine``. There is no master
+rank: decisions are host scalars updated once per iteration, and host 0
+writes files.
+
+Per iteration (Optimiser::run src/Optimiser.cpp:3561-4075):
+- E-step: ``engine.scan_init`` (global scan, phase A) +
+  ``engine.local_search`` (particle filter, phase B) — device-resident,
+  no collectives,
+- M-step statistics: ``engine.residual_stats`` (sigma / scale / norm sums,
+  psum over all shards = the reference's slave-communicator allreduce),
+- reconstruction: ``engine.insert_reduce`` (gridding insert + psum over
+  the data axis = the hemisphere volume allreduce), then per-class
+  Wiener-FSC reconstruction, golden-standard FSC and hemisphere averaging
+  on replicated volumes (Model::compareTwoHemispheres, src/Model.cpp:307).
 """
 
 import dataclasses
@@ -26,11 +35,14 @@ from ..config import Para
 from ..dtypes import real_dtype
 from ..geom import quat
 from ..geom.symmetry import Symmetry
+from ..ops import brick as brick_ops
 from ..ops import ctf as ctf_ops
 from ..ops import fft as fft_ops
 from ..ops import likelihood, pixels, spectrum
 from ..ops.mask import soft_mask_shape
 from ..ops.translate import translate_ft, translation_phase
+from ..parallel import engine
+from ..parallel.mesh import DATA_AXIS, HALF_AXIS, make_mesh
 from . import particle, projector, reconstructor, sampling
 
 # search types (include/Optimiser.h / Model.h)
@@ -137,90 +149,14 @@ class LadderState:
         return min(self.r + int(round(self.max_r / 3)), self.max_r)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "ctf_search", "n", "pf", "k_classes", "pixel_size",
-        "perturb_d_factor", "perturb_d_on",
-    ),
-)
-def _local_phase_step(key, st, vols, cls, dat, c_px, sig_rcp, col, row,
-                      pmask, active, factor, ctf_params,
-                      *, ctf_search, n, pf, k_classes, pixel_size,
-                      perturb_d_factor, perturb_d_on):
-    """One particle-filter phase, fully jitted: perturb -> project ->
-    factored likelihood -> posterior update, with per-image active masking
-    (frozen images pass through unchanged). Returns (new_state, shrank)."""
-    kp, kt2, kd2, ku = jax.random.split(key, 4)
-
-    r_new = particle.perturb_r(kp, st["r"], st["k1"], st["k2"], st["k3"],
-                               pf=factor)
-    t_new = particle.perturb_t(kt2, st["t"], st["s0"], st["s1"], pf=factor)
-    st = {
-        **st,
-        "r": jnp.where(active[:, None, None], r_new, st["r"]),
-        "t": jnp.where(active[:, None, None], t_new, st["t"]),
-    }
-    if perturb_d_on:
-        d_new = particle.perturb_d(kd2, st["d"], st["sD"], pf=perturb_d_factor)
-        st["d"] = jnp.where(active[:, None], d_new, st["d"])
-
-    rots = quat.rotate3d(st["r"])  # (B, mLR, 3, 3)
-    coords = projector.slice_coords_3d(rots, col, row, pf=pf)
-    if k_classes == 1:
-        proj = projector.project_brick_3d(vols[0], rots, col, row, pf=pf)
-    else:
-        # gather each image's slice from ITS class's brick table: index the
-        # stacked tables by class on the fly (one fused gather, no K-fold
-        # projection + select of round 1, src/Optimiser.cpp:925-955)
-        from ..ops import brick as brick_ops
-
-        mc = vols.shape[-2]
-        flat = vols.reshape(k_classes * mc**3, 16)
-        idx, w8, valid = brick_ops._corners3(coords, mc)
-        idx = jnp.where(valid, idx, 0) + (cls * mc**3)[:, None, None]
-        rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (16,))
-        re = jnp.sum(rows[..., :8] * w8, -1)
-        im = jnp.sum(rows[..., 8:] * w8, -1)
-        proj = jnp.where(valid, jax.lax.complex(re, im), 0.0)
-    tra = translation_phase(col, row, st["t"][..., 0], st["t"][..., 1], n)
-    ctf_d = None
-    if ctf_search:
-        ctf_d = ctf_ops.ctf_pixels(
-            col, row, n, pixel_size,
-            ctf_params["voltage"][:, None], ctf_params["defocus_u"][:, None],
-            ctf_params["defocus_v"][:, None],
-            ctf_params["defocus_theta"][:, None],
-            ctf_params["cs"][:, None], ctf_params["amp_contrast"][:, None],
-            ctf_params.get(
-                "phase_shift", jnp.zeros_like(ctf_params["voltage"])
-            )[:, None],
-            defocus_factor=st["d"],
-        )
-    u_r, u_t, u_d = likelihood.local_search_weights(
-        dat, c_px, sig_rcp, proj, tra, st["wR"], st["wT"], st["wD"],
-        ctf_d=ctf_d, pixel_mask=pmask,
-    )
-    new_st = particle.update_from_likelihood(
-        st, ku, u_r, u_t, u_d,
-        peak_factor_r=particle.PEAK_FACTOR_MIN,
-        with_d=ctf_search,
-    )
-    prev_vari = {k: st[k] for k in ("k1", "k2", "k3", "s0", "s1", "sD")}
-    out = {
-        k: jnp.where(active.reshape((-1,) + (1,) * (v.ndim - 1)), v, st[k])
-        for k, v in new_st.items()
-    }
-    shrank = particle.vari_shrank(out, prev_vari)
-    return out, shrank
-
-
 class Optimiser:
-    """Single-host driver. Data arrives either from para.db (a .thu file +
-    MRC stacks) or as in-memory arrays via ``set_data``."""
+    """Host driver over a (half, data) device mesh. Data arrives either from
+    para.db (a .thu file + MRC stacks) or as in-memory arrays via
+    ``set_data``."""
 
-    def __init__(self, para: Para):
+    def __init__(self, para: Para, mesh=None):
         self.para = para
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.sym = Symmetry(para.sym)
         self.n = para.size
         self.key = jax.random.PRNGKey(para.seed)
@@ -246,48 +182,116 @@ class Optimiser:
     def set_data(self, imgs, ctf_params, group_ids=None, halves=None):
         """imgs: (N, n, n) float32 real-space particle images (object at
         center); ctf_params: dict with voltage/defocus_u/defocus_v/
-        defocus_theta/cs/amp_contrast/phase_shift arrays (N,)."""
+        defocus_theta/cs/amp_contrast/phase_shift arrays (N,).
+
+        Builds the half-plane layout: a shuffled balanced split into
+        hemispheres (Database::shuffle/split semantics,
+        src/Database.cpp:235,621), with each plane padded to a multiple of
+        the mesh data-axis size (invalid slots carry plane_valid = 0)."""
         imgs = np.asarray(imgs, dtype=np.float32)
         self.n_imgs = imgs.shape[0]
-        self.ctf_params = {k: jnp.asarray(v, dtype=real_dtype)
-                           for k, v in ctf_params.items()}
-        self.group_ids = (
-            np.zeros(self.n_imgs, np.int32) if group_ids is None
-            else np.asarray(group_ids, np.int32)
-        )
-        self.n_groups = int(self.group_ids.max()) + 1
         if halves is None:
-            # shuffled half split (Database::shuffle/split semantics)
             perm = np.random.default_rng(self.para.seed).permutation(self.n_imgs)
             halves = np.zeros(self.n_imgs, np.int32)
             halves[perm[self.n_imgs // 2:]] = 1
         self.halves = np.asarray(halves, np.int32)
 
+        d_sz = self.mesh.shape[DATA_AXIS]
+        idx_h = [np.nonzero(self.halves == h)[0] for h in (0, 1)]
+        s = max(max(len(i) for i in idx_h), 1)
+        s = -(-s // d_sz) * d_sz
+        self.s_slots = s
+        self.plane_index = np.zeros((2, s), np.int64)
+        self.plane_valid = np.zeros((2, s), np.float32)
+        for h in (0, 1):
+            self.plane_index[h, : len(idx_h[h])] = idx_h[h]
+            self.plane_valid[h, : len(idx_h[h])] = 1.0
+
+        gid = (np.zeros(self.n_imgs, np.int32) if group_ids is None
+               else np.asarray(group_ids, np.int32))
+        self.group_ids = gid
+        self.n_groups = int(gid.max()) + 1
+        self.groups_plane = gid[self.plane_index]
+        self.ctf_params = {
+            k: jnp.asarray(np.asarray(v, np.float32)[self.plane_index])
+            for k, v in ctf_params.items()
+        }
+        if "phase_shift" not in self.ctf_params:
+            self.ctf_params["phase_shift"] = jnp.zeros((2, s), real_dtype)
+
         # _imgOri / _img of the reference: background-normalised spectra,
         # unmasked and masked (include/Optimiser.h _img/_imgOri)
-        imgs_norm, alpha = self._preprocess(jnp.asarray(imgs))
+        imgs_p = jnp.asarray(imgs[self.plane_index])  # (2, S, n, n)
+        imgs_norm, alpha = self._preprocess(imgs_p)
         self.imgs_ft_ori = fft_ops.fft2_center(imgs_norm)
         if self.para.zero_mask:
             self.imgs_ft = fft_ops.fft2_center(imgs_norm * alpha)
         else:
             self.imgs_ft = self.imgs_ft_ori
         # per-image accumulated re-centring offsets (Optimiser::_offset)
-        self.offsets = np.zeros((self.n_imgs, 2), np.float32)
+        self.offsets = np.zeros((2, s, 2), np.float32)
         # per-group intensity scale (Optimiser::_scale)
         self.scale = np.ones(self.n_groups, np.float32)
-        # pose estimates per image
-        self.best_class = np.zeros(self.n_imgs, np.int32)
-        self.best_quat = np.tile(np.array([1.0, 0, 0, 0], np.float32),
-                                 (self.n_imgs, 1))
-        self.best_trans = np.zeros((self.n_imgs, 2), np.float32)
-        self.best_phi = np.zeros(self.n_imgs, np.float32)  # 2D mode
-        self.best_defocus = np.ones(self.n_imgs, np.float32)
-        self.scores = np.ones(self.n_imgs, np.float32)
-        # the particle filter state over ALL images (persists across
-        # iterations, like the reference's _par vector)
-        self.par = particle.make_state(
-            self.n_imgs, self.para.m_l_r, self.para.m_l_t, self.para.m_l_d
-        )
+        # particle-filter state for ALL images, half-plane layout (the
+        # reference's per-rank _par vector)
+        self.par = {
+            k: np.asarray(v)[None].repeat(2, 0).reshape((2, s) + v.shape[1:])
+            for k, v in particle.make_state(
+                s, self.para.m_l_r, self.para.m_l_t, self.para.m_l_d
+            ).items()
+        }
+        self.scores = np.ones((2, s), np.float32)
+
+    # flat-order views for interop (.thu output, tests); setters accept
+    # flat (N, ...) arrays
+    def _from_plane(self, plane_arr):
+        a = np.asarray(plane_arr)
+        a = a.reshape((-1,) + a.shape[2:])
+        sel = self.plane_valid.ravel() > 0
+        out = np.zeros((self.n_imgs,) + a.shape[1:], a.dtype)
+        out[self.plane_index.ravel()[sel]] = a[sel]
+        return out
+
+    def _to_plane(self, arr):
+        return np.asarray(arr)[self.plane_index]
+
+    @property
+    def best_quat(self):
+        return self._from_plane(self.par["topR"])
+
+    @best_quat.setter
+    def best_quat(self, q):
+        self.par["topR"] = self._to_plane(np.asarray(q, np.float32))
+
+    @property
+    def best_trans(self):
+        return self._from_plane(self.par["topT"])
+
+    @best_trans.setter
+    def best_trans(self, t):
+        self.par["topT"] = self._to_plane(np.asarray(t, np.float32))
+
+    @property
+    def best_defocus(self):
+        return self._from_plane(self.par["topD"])
+
+    @best_defocus.setter
+    def best_defocus(self, d):
+        self.par["topD"] = self._to_plane(np.asarray(d, np.float32))
+
+    @property
+    def best_class(self):
+        return self._from_plane(self.par["c"])
+
+    @best_class.setter
+    def best_class(self, c):
+        self.par["c"] = self._to_plane(np.asarray(c, np.int32))
+
+    @property
+    def best_phi(self):
+        """2D in-plane angle from the (cos, sin) support convention."""
+        top = self.par["topR"]
+        return self._from_plane(np.arctan2(top[..., 1], top[..., 0]))
 
     def load_poses(self, quats, trans, defocus=None, classes=None,
                    k123=None, std_t=None):
@@ -295,41 +299,30 @@ class Optimiser:
         columns (Particle::load semantics, src/Optimiser.cpp:5312-5385 via
         loadParticles) — support points cluster around the stored pose with
         the stored concentrations/stddevs."""
-        b = self.n_imgs
-        q = jnp.asarray(quats, real_dtype)
-        t = jnp.asarray(trans, real_dtype)
-        self.best_quat = np.asarray(quats, np.float32)
-        self.best_trans = np.asarray(trans, np.float32)
-        if classes is not None:
-            self.best_class = np.asarray(classes, np.int32)
-        if defocus is not None:
-            self.best_defocus = np.asarray(defocus, np.float32)
-        k1 = (jnp.asarray(k123[0], real_dtype) if k123 is not None
-              else jnp.full((b,), 0.01, real_dtype))
-        k2 = (jnp.asarray(k123[1], real_dtype) if k123 is not None
-              else jnp.full((b,), 0.01, real_dtype))
-        k3 = (jnp.asarray(k123[2], real_dtype) if k123 is not None
-              else jnp.full((b,), 0.01, real_dtype))
-        s0 = (jnp.asarray(std_t[0], real_dtype) if std_t is not None
-              else jnp.ones((b,), real_dtype))
-        s1 = (jnp.asarray(std_t[1], real_dtype) if std_t is not None
-              else jnp.ones((b,), real_dtype))
-        n_r = self.par["r"].shape[1]
-        n_t = self.par["t"].shape[1]
-        self.par["r"] = jnp.broadcast_to(q[:, None, :], (b, n_r, 4))
-        self.par["t"] = jnp.broadcast_to(t[:, None, :], (b, n_t, 2))
+        q = self._to_plane(np.asarray(quats, np.float32))
+        t = self._to_plane(np.asarray(trans, np.float32))
+        s = self.s_slots
+        n_r = self.par["r"].shape[2]
+        n_t = self.par["t"].shape[2]
+        self.par["r"] = np.broadcast_to(q[:, :, None, :], (2, s, n_r, 4)).copy()
+        self.par["t"] = np.broadcast_to(t[:, :, None, :], (2, s, n_t, 2)).copy()
         self.par["topR"] = q
         self.par["topT"] = t
-        self.par["k1"] = jnp.maximum(k1, 1e-5)
-        self.par["k2"] = jnp.maximum(k2, 1e-5)
-        self.par["k3"] = jnp.maximum(k3, 1e-5)
-        self.par["s0"] = jnp.maximum(s0, 0.1)
-        self.par["s1"] = jnp.maximum(s1, 0.1)
+        if classes is not None:
+            self.par["c"] = self._to_plane(np.asarray(classes, np.int32))
+        for i, name in enumerate(("k1", "k2", "k3")):
+            v = (self._to_plane(np.asarray(k123[i], np.float32))
+                 if k123 is not None else np.full((2, s), 0.01, np.float32))
+            self.par[name] = np.maximum(v, 1e-5)
+        for i, name in enumerate(("s0", "s1")):
+            v = (self._to_plane(np.asarray(std_t[i], np.float32))
+                 if std_t is not None else np.ones((2, s), np.float32))
+            self.par[name] = np.maximum(v, 0.1)
         if defocus is not None:
-            n_d = self.par["d"].shape[1]
-            self.par["d"] = jnp.broadcast_to(
-                jnp.asarray(defocus, real_dtype)[:, None], (b, n_d))
-            self.par["topD"] = jnp.asarray(defocus, real_dtype)
+            d = self._to_plane(np.asarray(defocus, np.float32))
+            n_d = self.par["d"].shape[2]
+            self.par["d"] = np.broadcast_to(d[:, :, None], (2, s, n_d)).copy()
+            self.par["topD"] = d
 
     def _preprocess(self, imgs):
         """statImg + substractBgImg + normaliseImg
@@ -348,21 +341,26 @@ class Optimiser:
         return imgs, alpha
 
     def init_reference(self, vol=None):
-        """Initial model: provided volume (n^3) or a soft sphere; low-passed
-        to the initial resolution; replicated to both hemispheres and all
-        classes."""
+        """Initial model: provided volume (n^3) / image (n^2 in 2D mode) or
+        a soft sphere; low-passed to the initial resolution; replicated to
+        both hemispheres and all classes."""
         n, k = self.n, self.para.k
+        dims = 2 if self.para.mode == "2d" else 3
         if vol is None:
-            vol = np.asarray(soft_mask_shape((n, n, n), n / 8, n / 8))
+            shape = (n,) * dims
+            vol = np.asarray(soft_mask_shape(shape, n / 8, n / 8))
         vol = jnp.asarray(vol, dtype=real_dtype)
-        ft = fft_ops.fft3_center(vol)
-        thres = self.ladder.r / n
         from ..ops.filters import low_pass_filter
 
-        ft = low_pass_filter(ft, thres, 3.0 / n, 3)
-        vol = fft_ops.ifft3_center(ft).real
-        # refs[half][class] — start identical
-        self.refs = jnp.tile(vol[None, None], (2, k, 1, 1, 1))
+        fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
+        ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
+        ft = fftc(vol)
+        thres = self.ladder.r / n
+        ft = low_pass_filter(ft, thres, 3.0 / n, dims)
+        vol = ifftc(ft).real
+        # refs[half][class] — start identical; 2D classes are decorrelated
+        # by the stochastic class draw in the global scan
+        self.refs = jnp.tile(vol[None, None], (2, k) + (1,) * dims)
 
     # ------------------------------------------------------------ init sigma
 
@@ -370,35 +368,79 @@ class Optimiser:
         """Initial per-group noise spectra from average image power
         (src/Optimiser.cpp:568, initSigma): sig = shell power / 2."""
         n = self.n
-        ps = spectrum.power_spectrum(self.imgs_ft, n // 2, 2)  # (N, shells)
+        ps = np.asarray(spectrum.power_spectrum(self.imgs_ft, n // 2, 2))
         sig = np.zeros((self.n_groups, n // 2), np.float32)
+        w = self.plane_valid
         for g in range(self.n_groups):
-            sel = self.group_ids == g
-            sig[g] = np.asarray(jnp.mean(ps[sel], axis=0)) / 2
-        self.sig = jnp.asarray(np.maximum(sig, 1e-10))
+            sel = (self.groups_plane == g) & (w > 0)
+            sig[g] = ps[sel].mean(axis=0) if sel.any() else 1.0
+        self.sig = jnp.asarray(np.maximum(sig / 2, 1e-10))
 
-    # ------------------------------------------------------------ expectation
+    # ----------------------------------------------------------- device prep
 
     def _ring(self):
         return pixels.pixel_ring(self.n, self.r_low, self.ladder.r)
 
-    def _gather_ring_data(self, ring, idx, ori=False):
-        """Observed pixels, CTF and sigma reciprocal on the ring for a subset
-        of images. ``ori=True`` reads the unmasked stack (_imgOri)."""
+    def _chunk(self):
+        s_local = self.s_slots // self.mesh.shape[DATA_AXIS]
+        b = self.para.image_batch
+        return max(1, min(b, s_local) if b else s_local)
+
+    def _bricks(self, r_band=None):
+        """Per-half, per-class brick projectee tables (2, K, ...), laid out
+        over the ``half`` mesh axis."""
+        para = self.para
+        r_band = self.ladder.r if r_band is None else r_band
+        if para.mode == "2d":
+            tabs = projector.build_brick_projectee_2d(
+                self.refs, r_band, pf=para.pf)  # leading (2, K) axes ok
+        else:
+            tabs = jnp.stack([
+                jnp.stack([
+                    projector.build_brick_projectee_3d(
+                        self.refs[h, k], r_band, pf=para.pf)
+                    for k in range(para.k)
+                ])
+                for h in (0, 1)
+            ])
+        return jax.device_put(tabs, engine.half_sharding(self.mesh))
+
+    def _plane_ring_data(self, ring, ori=False, refined_defocus=False):
+        """Observed pixels, CTF and sigma reciprocal on the ring in
+        half-plane layout (2, S, P). ``ori=True`` reads the unmasked stack
+        (_imgOri); ``refined_defocus`` evaluates the CTF at the filter's
+        rank-1 defocus factor."""
         stack = self.imgs_ft_ori if ori else self.imgs_ft
-        dat = pixels.gather_pixels(stack[idx], ring)
+        dat = pixels.gather_pixels(stack, ring)
         col = jnp.asarray(ring.col)
         row = jnp.asarray(ring.row)
-        cp = {k: v[idx] for k, v in self.ctf_params.items()}
+        cp = self.ctf_params
+        dfac = jnp.asarray(self.par["topD"]) if refined_defocus else 1.0
         c = ctf_ops.ctf_pixels(
             col, row, self.n, self.para.pixel_size,
             cp["voltage"], cp["defocus_u"], cp["defocus_v"],
             cp["defocus_theta"], cp["cs"], cp["amp_contrast"],
-            cp.get("phase_shift", jnp.zeros_like(cp["voltage"])),
+            cp["phase_shift"], defocus_factor=dfac,
         )
-        sig_px = self.sig[self.group_ids[idx][:, None], jnp.asarray(ring.sig)[None, :]]
-        sig_rcp = likelihood.sigma_reciprocal(sig_px)
-        return dat, c, sig_rcp
+        sig_px = self.sig[
+            jnp.asarray(self.groups_plane)[..., None],
+            jnp.asarray(ring.sig)[None, None, :],
+        ]
+        return dat, c, likelihood.sigma_reciprocal(sig_px)
+
+    def _iter_keys(self, salt):
+        """(2, S, 2) per-image keys for this iteration: derived from the
+        global image index, so results are mesh-layout independent."""
+        base = jax.random.fold_in(
+            jax.random.fold_in(self.key, self.iteration), salt)
+        return engine.plane_keys(base, self.plane_index)
+
+    def _sym_quats(self):
+        if self.para.mode == "2d" or not self.sym.n_elements:
+            return jnp.zeros((0, 4), real_dtype)
+        return jnp.asarray(self.sym.quat.astype(np.float32))
+
+    # ------------------------------------------------------------ expectation
 
     def expectation(self):
         """E-step: global scan (phase A, GLOBAL search only) seeding the
@@ -409,7 +451,8 @@ class Optimiser:
         return self.local_search()
 
     def global_scan(self):
-        """Phase A: dense pose scan for every image, per hemisphere."""
+        """Phase A: dense pose scan for every image against its
+        hemisphere's class references (src/Optimiser.cpp:633-1136)."""
         para = self.para
         ring = self._ring()
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
@@ -420,81 +463,37 @@ class Optimiser:
         self.key, kr, kt = jax.random.split(self.key, 3)
         if para.mode == "2d":
             phis = sampling.sample_rotations_2d(kr, n_r)
-            rots2 = quat.rotate2d(phis)
-            quats = jnp.stack(
-                [jnp.cos(phis / 2), jnp.zeros_like(phis), jnp.zeros_like(phis),
-                 jnp.sin(phis / 2)], axis=-1,
-            )
+            rots = quat.rotate2d(phis)
+            zeros = jnp.zeros_like(phis)
+            # support convention: (cos phi, sin phi) in the first two slots
+            quats = jnp.stack([jnp.cos(phis), jnp.sin(phis), zeros, zeros], -1)
         else:
             quats = sampling.sample_rotations_3d(
                 kr, n_r, self.sym.quat if self.sym.n_elements else None
             )
-            rots3 = quat.rotate3d(quats)
+            rots = quat.rotate3d(quats)
         trans = sampling.sample_translations(kt, n_t, para.trans_s)
         tra = translation_phase(col, row, trans[:, 0], trans[:, 1], self.n)
 
-        for h in (0, 1):
-            idx = np.nonzero(self.halves == h)[0]
-            if len(idx) == 0:
-                continue
-            # class projections from this hemisphere's reference
-            r_band = self.ladder.r
-            projs = []
-            for k in range(para.k):
-                if para.mode == "2d":
-                    tab = projector.build_brick_projectee_2d(
-                        self.refs[h, k, self.n // 2], r_band, pf=para.pf
-                    )
-                    projs.append(projector.project_brick_2d(
-                        tab, rots2, col, row, pf=para.pf))
-                else:
-                    tab = projector.build_brick_projectee_3d(
-                        self.refs[h, k], r_band, pf=para.pf
-                    )
-                    projs.append(projector.project_brick_3d(
-                        tab, rots3, col, row, pf=para.pf))
-            proj = jnp.stack(projs)  # (K, R, P)
-
-            batch = para.image_batch or len(idx)
-            for s in range(0, len(idx), batch):
-                sub = idx[s : s + batch]
-                dat, c, sig_rcp = self._gather_ring_data(ring, sub)
-                out = likelihood.global_search_weights(
-                    dat, c, sig_rcp, proj, tra, pixel_mask=pmask
-                )
-                wc = np.asarray(out["wC"])
-                wr = np.asarray(out["wR"])
-                wt = np.asarray(out["wT"])
-                # class posterior: peak-clip + argmax (reference resamples
-                # the class; argmax is its K-small limit)
-                cls = np.argmax(wc, axis=1)
-                self.best_class[sub] = cls
-                # seed the per-image particle filter from the scan marginals
-                self.key, kinit = jax.random.split(self.key)
-                sub_j = jnp.asarray(sub)
-                st = particle.init_from_scan(
-                    kinit,
-                    jnp.asarray(wr[np.arange(len(sub)), cls]),
-                    jnp.asarray(wt[np.arange(len(sub)), cls]),
-                    quats, trans, para.m_l_r, para.m_l_t, para.m_l_d,
-                    peak_factor_r=0.0, peak_factor_t=0.0,
-                )
-                for field in self.par:
-                    self.par[field] = self.par[field].at[sub_j].set(st[field])
-
-    def _class_projectees(self, h, r_band=None):
-        para = self.para
-        r_band = self.ladder.r if r_band is None else r_band
-        vols = []
-        for k in range(para.k):
-            vols.append(projector.build_brick_projectee_3d(
-                self.refs[h, k], r_band, pf=para.pf))
-        return jnp.stack(vols)  # (K, mc, mc, mc, 16)
+        bricks = self._bricks()
+        dat, c, sig_rcp = self._plane_ring_data(ring)
+        keys = self._iter_keys(salt=1)
+        st, w_c = engine.scan_init(
+            self.mesh, bricks, rots, quats, tra, trans, col, row, pmask,
+            dat, c, sig_rcp, keys,
+            mode=para.mode, pf=para.pf, m_l_r=para.m_l_r, m_l_t=para.m_l_t,
+            m_l_d=para.m_l_d, chunk=self._chunk(),
+        )
+        st = jax.tree.map(np.asarray, st)
+        # the filter's defocus dimension persists across scans
+        st["d"] = self.par["d"]
+        st["topD"] = self.par["topD"]
+        st["sD"] = self.par["sD"]
+        self.par = st
 
     def local_search(self):
         """Phase-B particle-filter refinement for every image
-        (src/Optimiser.cpp:1138-1660): perturb -> evaluate -> update until
-        the per-image variances stop shrinking."""
+        (src/Optimiser.cpp:1138-1660), one device-resident dispatch."""
         para = self.para
         ring = self._ring()
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
@@ -508,116 +507,66 @@ class Optimiser:
                      else para.perturb_factor_s_local)
         ctf_search = st_type == SEARCH_TYPE_CTF
 
-        t_vari = []
-        for h in (0, 1):
-            idx = np.nonzero(self.halves == h)[0]
-            if len(idx) == 0:
-                continue
-            vols = self._class_projectees(h)
-            dat, c_px, sig_rcp = self._gather_ring_data(ring, idx)
-            sub_j = jnp.asarray(idx)
-            st = {k: v[sub_j] for k, v in self.par.items()}
-            cls = jnp.asarray(self.best_class[idx])
+        bricks = self._bricks()
+        dat, c, sig_rcp = self._plane_ring_data(ring)
+        state = {k: jnp.asarray(v) for k, v in self.par.items()}
+        keys = self._iter_keys(salt=2)
+        cp = engine.pack_ctf(self.ctf_params)
+        st = engine.local_search(
+            self.mesh, bricks, col, row, pmask, dat, c, sig_rcp, state,
+            keys, cp, self._sym_quats(),
+            jnp.asarray(para.perturb_factor_l, real_dtype),
+            jnp.asarray(perturb_s, real_dtype),
+            jnp.asarray(para.perturb_factor_s_ctf, real_dtype),
+            mode=para.mode, pf=para.pf, n=self.n,
+            pixel_size=para.pixel_size, ctf_search=ctf_search,
+            min_phase=min_phase, chunk=self._chunk(),
+        )
+        self.par = jax.tree.map(np.asarray, st)
+        self.scores = np.asarray(particle.compress_r(
+            {k: jnp.asarray(v.reshape((-1,) + v.shape[2:]))
+             for k, v in self.par.items()}
+        )).reshape(2, self.s_slots)
 
-            cp_sub = {k: v[sub_j] for k, v in self.ctf_params.items()}
-            done = np.zeros(len(idx), bool)
-            no_dec = np.zeros(len(idx), np.int32)
-            for phase in range(particle.MAX_N_PHASE_PER_ITER):
-                self.key, kphase = jax.random.split(self.key)
-                factor = para.perturb_factor_l if phase == 0 else perturb_s
-                st, shrank = _local_phase_step(
-                    kphase, st, vols, cls, dat, c_px, sig_rcp, col, row,
-                    pmask, jnp.asarray(~done), jnp.asarray(factor, real_dtype),
-                    cp_sub,
-                    ctf_search=ctf_search, n=self.n, pf=para.pf,
-                    k_classes=para.k, pixel_size=para.pixel_size,
-                    perturb_d_factor=para.perturb_factor_s_ctf,
-                    perturb_d_on=ctf_search and phase > 0,
-                )
-                if phase >= min_phase:
-                    shrank_np = np.asarray(shrank)
-                    no_dec = np.where(shrank_np, 0, no_dec + 1)
-                    done |= no_dec >= particle.N_PHASE_WITH_NO_VARI_DECREASE
-                    if done.all():
-                        break
-
-            for field in self.par:
-                self.par[field] = self.par[field].at[sub_j].set(st[field])
-            self.best_quat[idx] = np.asarray(st["topR"])
-            self.best_trans[idx] = np.asarray(st["topT"])
-            self.best_defocus[idx] = np.asarray(st["topD"])
-            self.scores[idx] = np.asarray(particle.compress_r(st))
-            t_vari.append(np.stack(
-                [np.asarray(st["s0"]), np.asarray(st["s1"])], axis=-1))
-        tv = np.concatenate(t_vari, axis=0).mean(axis=0)
-        return float(tv[0]), float(tv[1])
-
+        w = self.plane_valid
+        tv0 = float((self.par["s0"] * w).sum() / max(w.sum(), 1.0))
+        tv1 = float((self.par["s1"] * w).sum() / max(w.sum(), 1.0))
+        return tv0, tv1
 
     # ---------------------------------------------------------- maximization
 
-    def _rot_matrices(self, idx):
-        if self.para.mode == "2d":
-            return quat.rotate2d(jnp.asarray(self.best_phi[idx]))
-        return quat.rotate3d(jnp.asarray(self.best_quat[idx]))
-
-    def _predicted_slices(self, ring, idx, h, use_offset=False):
-        """CTF-free predicted (translated) slices at the current best pose.
-        ``use_offset`` projects at (tran - offset) — pairs with the UNMASKED
-        image stack, which is never re-centred (the reference's
-        OPTIMISER_RECENTRE_IMAGE_EACH_ITERATION convention)."""
+    def _residual_stats(self):
+        """One sharded pass of rank-1 residual statistics
+        (engine.residual_stats): per-group sigma shell sums, scale-fit
+        terms, per-image norm shells."""
+        ring = self._ring()
+        bricks = self._bricks(r_band=int(np.ceil(ring.r_high)))
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
-        rots = self._rot_matrices(idx)
-        r_band = int(np.ceil(ring.r_high))
-        pri = []
-        for k in range(self.para.k):
-            if self.para.mode == "2d":
-                tab = projector.build_brick_projectee_2d(
-                    self.refs[h, k, self.n // 2], r_band, pf=self.para.pf)
-                pri.append(projector.project_brick_2d(tab, rots, col, row,
-                                                      pf=self.para.pf))
-            else:
-                tab = projector.build_brick_projectee_3d(
-                    self.refs[h, k], r_band, pf=self.para.pf)
-                pri.append(projector.project_brick_3d(tab, rots, col, row,
-                                                      pf=self.para.pf))
-        pri = jnp.stack(pri)  # (K, B, P)
-        pri = pri[self.best_class[idx], jnp.arange(len(idx))]
-        t = np.array(self.best_trans[idx])
-        if use_offset:
-            t = t - self.offsets[idx]
-        t = jnp.asarray(t)
-        tra = translation_phase(col, row, t[:, 0], t[:, 1], self.n)
-        return pri * tra
+        pmask = jnp.asarray(ring.mask)
+        dat, c, _ = self._plane_ring_data(ring, refined_defocus=True)
+        dat_ori, _, _ = self._plane_ring_data(ring, ori=True)
+        state = {k: jnp.asarray(self.par[k]) for k in ("topR", "topT", "c")}
+        sig_sums, cnt, xa, aa, norms = engine.residual_stats(
+            self.mesh, bricks, col, row, jnp.asarray(ring.sig), pmask,
+            dat, dat_ori, c, state, jnp.asarray(self.groups_plane),
+            jnp.asarray(self.plane_valid), jnp.asarray(self.offsets),
+            mode=self.para.mode, pf=self.para.pf, n=self.n,
+            n_groups=self.n_groups, n_shell=self.n // 2,
+            chunk=self._chunk(),
+        )
+        shell_n = np.zeros(self.n // 2, np.float64)
+        np.add.at(shell_n, np.asarray(ring.sig)[np.asarray(ring.mask) > 0], 1)
+        return (np.asarray(sig_sums, np.float64), np.asarray(cnt, np.float64),
+                np.asarray(xa, np.float64), np.asarray(aa, np.float64),
+                np.asarray(norms, np.float64), shell_n)
 
-    def maximization_sigma(self):
+    def maximization_sigma(self, stats=None):
         """allReduceSigma, unmasked path (src/Optimiser.cpp:6397-6710,
         OPTIMISER_SIGMA_MASK off): sig(group, shell) =
         mean_l power_shell(datOri - ctf * pri(tran - offset)) / 2."""
-        ring = self._ring()
-        n_shell = self.n // 2
-        acc = np.zeros((self.n_groups, n_shell), np.float64)
-        cnt = np.zeros((self.n_groups, 1), np.float64)
-        shell_n = np.zeros(n_shell, np.float64)
-        np.add.at(shell_n, np.asarray(ring.sig)[np.asarray(ring.mask) > 0], 1)
-        for h in (0, 1):
-            idx = np.nonzero(self.halves == h)[0]
-            if len(idx) == 0:
-                continue
-            dat, c, _ = self._gather_ring_data(ring, idx, ori=True)
-            pri = self._predicted_slices(ring, idx, h, use_offset=True)
-            resid = jnp.abs(dat - c * pri) ** 2 * jnp.asarray(ring.mask)
-            # per-shell sums
-            sig_idx = np.asarray(ring.sig)
-            shell_sum = np.zeros((len(idx), n_shell), np.float64)
-            np.add.at(shell_sum.T, sig_idx, np.asarray(resid, np.float64).T)
-            shell_mean = shell_sum / np.maximum(shell_n, 1.0)
-            for g in range(self.n_groups):
-                sel = self.group_ids[idx] == g
-                if sel.any():
-                    acc[g] += shell_mean[sel].sum(axis=0) / 2
-                    cnt[g] += sel.sum()
-        sig = acc / np.maximum(cnt, 1.0)
-        # only update the re-estimated band [0, r); keep tail at last value
+        sig_sums, cnt, _, _, _, shell_n = stats or self._residual_stats()
+        sig = (sig_sums / np.maximum(shell_n, 1.0)[None, :]
+               / np.maximum(cnt, 1.0)[:, None] / 2)
         r = self.ladder.r
         new_sig = np.asarray(self.sig).copy()
         new_sig[:, :r] = np.maximum(sig[:, :r], 1e-10)
@@ -638,31 +587,19 @@ class Optimiser:
             r_s = max(1, int(round(self.n * para.pixel_size / para.scl_cor_res)))
         return min(r_s, self.ladder.r)
 
-    def refresh_scale(self, group=True):
+    def refresh_scale(self, group=True, stats=None):
         """Per-group intensity scale from a data-vs-projection linear fit
         (Optimiser::refreshScale src/Optimiser.cpp:5749-6063,
         scaleDataVSPrior :10286): scale_g = sum XA / sum AA over shells in
         [rL, rS), XA = Re(dat conj(ctf pri)), AA = |ctf pri|^2, clamped to
         [median/5, median*5]."""
-        ring = pixels.pixel_ring(self.n, self.r_low, self._r_s())
-        xa = np.zeros(self.n_groups, np.float64)
-        aa = np.zeros(self.n_groups, np.float64)
-        for h in (0, 1):
-            idx = np.nonzero(self.halves == h)[0]
-            if len(idx) == 0:
-                continue
-            dat, c, _ = self._gather_ring_data(ring, idx, ori=True)
-            pri = self._predicted_slices(ring, idx, h, use_offset=True)
-            cp = c * pri * jnp.asarray(ring.mask)
-            xa_l = np.asarray(jnp.sum((jnp.conj(dat) * cp).real, axis=-1),
-                              np.float64)
-            aa_l = np.asarray(jnp.sum(jnp.abs(cp) ** 2, axis=-1), np.float64)
-            g = self.group_ids[idx] if group else np.zeros(len(idx), np.int32)
-            np.add.at(xa, g, xa_l)
-            np.add.at(aa, g, aa_l)
+        _, _, xa_sh, aa_sh, _, _ = stats or self._residual_stats()
+        lo, hi = self.r_low, max(self._r_s(), self.r_low + 1)
+        xa = xa_sh[:, lo:hi].sum(axis=1)
+        aa = aa_sh[:, lo:hi].sum(axis=1)
         if not group:
-            xa[:] = xa[0]
-            aa[:] = aa[0]
+            xa[:] = xa.sum()
+            aa[:] = aa.sum()
         scale = np.abs(xa / np.maximum(aa, 1e-30))
         med = np.median(scale)
         scale = np.clip(scale, med / 5, med * 5)
@@ -678,56 +615,48 @@ class Optimiser:
             s = float(scale[self.group_ids[0]])
             self.refs = self.refs * s
         else:
-            s_img = jnp.asarray(scale)[self.group_ids][:, None, None]
+            s_img = jnp.asarray(scale)[jnp.asarray(self.groups_plane)][..., None, None]
             self.imgs_ft = self.imgs_ft / s_img
             self.imgs_ft_ori = self.imgs_ft_ori / s_img
             self.sig = self.sig / jnp.asarray(scale[:, None] ** 2)
         self.scale = scale
 
-    def norm_correction(self):
+    def norm_correction(self, stats=None):
         """Optimiser::normCorrection (src/Optimiser.cpp:6201-6394,
         OPTIMISER_NORM_MASK on): per-image residual power over [rL, rNorm)
         on the MASKED stack at the rank-1 pose; rescale both stacks by
         sqrt(median / norm_l)."""
+        _, _, _, _, norms, _ = stats or self._residual_stats()
         r_norm = min(
             self.ladder.r,
             int(spectrum.res_p(jnp.asarray(self.fsc[0]), 0.75, r_low=1))
             if hasattr(self, "fsc") else self.ladder.r,
         )
-        ring = pixels.pixel_ring(self.n, self.r_low, max(r_norm, self.r_low + 1))
-        norm = np.zeros(self.n_imgs, np.float64)
-        for h in (0, 1):
-            idx = np.nonzero(self.halves == h)[0]
-            if len(idx) == 0:
-                continue
-            dat, c, _ = self._gather_ring_data(ring, idx)
-            pri = self._predicted_slices(ring, idx, h)
-            resid = jnp.abs(dat - c * pri) ** 2 * jnp.asarray(ring.mask)
-            norm[idx] = np.asarray(jnp.sum(resid, axis=-1), np.float64)
-        m = np.median(norm)
-        fac = jnp.asarray(np.sqrt(m / np.maximum(norm, 1e-30)).astype(np.float32))
-        self.imgs_ft = self.imgs_ft * fac[:, None, None]
-        self.imgs_ft_ori = self.imgs_ft_ori * fac[:, None, None]
+        hi = max(r_norm, self.r_low + 1)
+        norm = norms[..., self.r_low:hi].sum(axis=-1)  # (2, S)
+        valid = self.plane_valid > 0
+        m = np.median(norm[valid])
+        fac = np.sqrt(m / np.maximum(norm, 1e-30)).astype(np.float32)
+        fac_j = jnp.asarray(np.where(valid, fac, 1.0))[..., None, None]
+        self.imgs_ft = self.imgs_ft * fac_j
+        self.imgs_ft_ori = self.imgs_ft_ori * fac_j
 
     def re_centre_img(self):
         """Optimiser::reCentreImg (src/Optimiser.cpp:6065-6093): fold each
         image's rank-1 translation into its accumulated offset, re-derive the
         masked stack from the (never-moved) original stack, and shift the
         particle filter's translation support accordingly."""
-        tran = np.array(self.best_trans)
+        tran = self.par["topT"].copy()  # (2, S, 2)
         self.offsets -= tran
-        t_shift = jnp.asarray(tran)
-        # shift support points and tracked poses
-        self.par["t"] = self.par["t"] - t_shift[:, None, :]
-        self.par["topT"] = self.par["topT"] - t_shift
-        self.best_trans = np.zeros_like(self.best_trans)
+        self.par["t"] = self.par["t"] - tran[:, :, None, :]
+        self.par["topT"] = np.zeros_like(tran)
         self._rebuild_masked_stack()
 
     def _rebuild_masked_stack(self):
         """_img = mask(translate(_imgOri, offset)) (reCentreImg + reMaskImg,
         src/Optimiser.cpp:6065-6153)."""
         off = jnp.asarray(self.offsets)
-        shifted = translate_ft(self.imgs_ft_ori, off[:, 0], off[:, 1])
+        shifted = translate_ft(self.imgs_ft_ori, off[..., 0], off[..., 1])
         if self.para.zero_mask:
             n = self.n
             alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
@@ -752,7 +681,8 @@ class Optimiser:
         with zero background — the spherical mask by default, the provided
         mask volume (low-passed to the current band) when enabled."""
         n = self.n
-        if use_mask and getattr(self, "mask_vol", None) is not None:
+        if (use_mask and self.para.mode == "3d"
+                and getattr(self, "mask_vol", None) is not None):
             m_ft = fft_ops.fft3_center(jnp.asarray(self.mask_vol, real_dtype))
             from ..ops.filters import low_pass_filter
 
@@ -762,16 +692,13 @@ class Optimiser:
             alpha = soft_mask_shape((n, n), self.para.mask_radius_px, 6.0)
         else:
             alpha = soft_mask_shape((n, n, n), self.para.mask_radius_px, 6.0)
-        if self.para.mode == "2d":
-            # refs hold the central slice convention: mask each 2D class
-            self.refs = self.refs.at[:, :, self.n // 2].multiply(alpha)
-        else:
-            self.refs = self.refs * alpha
+        self.refs = self.refs * alpha
 
     def refresh_class_distr(self):
         """Class fractions (Optimiser::refreshClassDistr,
         src/Optimiser.cpp:5484-5517)."""
-        counts = np.bincount(self.best_class, minlength=self.para.k)
+        cls = self.par["c"][self.plane_valid > 0]
+        counts = np.bincount(cls.ravel(), minlength=self.para.k)
         self.c_distr = counts / max(counts.sum(), 1)
         return self.c_distr
 
@@ -805,7 +732,8 @@ class Optimiser:
         (FSC_mask - FSC_rand) / (1 - FSC_rand) past that shell."""
         para = self.para
         n = self.n
-        fsc_u = spectrum.frc_fsc(ft_a, ft_b, n // 2, 3)
+        dims = 2 if para.mode == "2d" else 3
+        fsc_u = spectrum.frc_fsc(ft_a, ft_b, n // 2, dims)
         use_mask = para.mask_fsc and getattr(self, "mask_vol", None) is not None
         use_core = para.core_fsc and para.mode == "3d"
         if not (use_mask or use_core) or para.mode != "3d":
@@ -835,103 +763,91 @@ class Optimiser:
         """Provided reference mask volume (n, n, n) in [0, 1]."""
         self.mask_vol = np.asarray(vol, np.float32)
 
-    def reconstruct(self):
-        """Per-half, per-class insert + reconstruct; golden-standard FSC;
-        average hemispheres below the high-fidelity band
-        (Model::compareTwoHemispheres, src/Model.cpp:307-850)."""
+    def reconstruct(self, r_u=None, join_half=False):
+        """Sharded gridding insert (engine.insert_reduce: per-class brick
+        accumulators psum'd over the data axis), then per-half Wiener-FSC
+        reconstruction, golden-standard FSC and hemisphere low-band
+        averaging (Model::compareTwoHemispheres, src/Model.cpp:307-850)."""
         para = self.para
-        r_u = self.ladder.r_u
+        dims = 2 if para.mode == "2d" else 3
+        r_u = self.ladder.r_u if r_u is None else r_u
         ring = pixels.pixel_ring(self.n, 0, r_u)
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
         pmask = jnp.asarray(ring.mask)
+        mc = brick_ops.crop_size(r_u, para.pf)
+        n_vox = mc**dims
 
-        new_refs = []
-        fscs = []
-        half_maps = []
+        dat, c, _ = self._plane_ring_data(ring, refined_defocus=True)
+        n_draw = min(para.m_reco, para.m_l_r)
+        w_img = (self.scores if para.par_gra
+                 else np.ones_like(self.scores)) * self.plane_valid / n_draw
+        state = {k: jnp.asarray(self.par[k]) for k in ("r", "t", "c")}
+        keys = self._iter_keys(salt=3)
+        tabs, offs = engine.insert_reduce(
+            self.mesh, col, row, pmask, dat, c, state, keys,
+            jnp.asarray(w_img),
+            mode=para.mode, pf=para.pf, n=self.n, k_classes=para.k,
+            mc=mc, n_draw=n_draw, chunk=self._chunk(),
+        )
+        self.insert_offsets = np.asarray(offs)  # (2, K, 3) for recentring
+
+        fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
+        ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
+        fold = brick_ops.fold_insert2 if dims == 2 else brick_ops.fold_insert3
+        radius = (fft_ops.radius_grid_2d if dims == 2
+                  else fft_ops.radius_grid_3d)
+
+        new_refs, fscs, half_maps = [], [], []
         for k in range(para.k):
             maps = []
             for h in (0, 1):
-                idx = np.nonzero((self.halves == h) & (self.best_class == k))[0]
-                state = reconstructor.empty_brick_state(
-                    self.n, r_u, pf=para.pf,
-                    mode="3d" if para.mode == "3d" else "2d",
-                )
-                if len(idx):
-                    dat, c, _ = self._gather_ring_data(ring, idx)
-                    sub_j = jnp.asarray(idx)
-                    # insert m_reco poses drawn from each image's particle
-                    # filter (Optimiser::reconstructRef draws mReco support
-                    # points, src/Optimiser.cpp:6711+), weighted by the
-                    # particle grade when enabled (parGra / compressR)
-                    n_draw = min(para.m_reco, para.m_l_r)
-                    w_img = (jnp.asarray(self.scores[idx])
-                             if para.par_gra else jnp.ones(len(idx)))
-                    w_img = w_img / n_draw
-                    par_r = self.par["r"][sub_j]      # (B, mLR, 4)
-                    par_t = self.par["t"][sub_j]      # (B, mLT, 2)
-                    n_t_sup = par_t.shape[1]
-                    b_img = len(idx)
-                    self.key, kd = jax.random.split(self.key)
-                    # support points post-resample are uniform-weighted:
-                    # a uniform index draw IS a posterior draw
-                    ri = jax.random.randint(kd, (b_img, n_draw), 0, par_r.shape[1])
-                    ti = jax.random.randint(
-                        jax.random.fold_in(kd, 1), (b_img, n_draw), 0, n_t_sup)
-                    q_d = jnp.take_along_axis(par_r, ri[..., None], axis=1)
-                    t_d = jnp.take_along_axis(par_t, ti[..., None], axis=1)
-                    rots_all = quat.rotate3d(q_d).reshape(b_img * n_draw, 3, 3)
-                    # flatten draws into the batch axis and chunk-insert
-                    bs = 256
-                    for s in range(0, b_img * n_draw, bs):
-                        img_i = jnp.arange(s, min(s + bs, b_img * n_draw)) // n_draw
-                        sl = slice(s, min(s + bs, b_img * n_draw))
-                        t_sl = t_d.reshape(b_img * n_draw, 2)[sl]
-                        tra = translation_phase(
-                            col, row, -t_sl[:, 0], -t_sl[:, 1], self.n)
-                        state = reconstructor.insert_brick_3d(
-                            state, dat[img_i] * tra, c[img_i], rots_all[sl],
-                            col, row, w_img[img_i], pf=para.pf,
-                            pixel_mask=pmask,
-                        )
-                f_c, t_c = reconstructor.finalize_brick(state)
-                if self.sym.n_elements:
+                tab_k = jnp.concatenate(
+                    [tabs[h, k * n_vox:(k + 1) * n_vox],
+                     jnp.zeros((1, tabs.shape[-1]), tabs.dtype)], 0)
+                f_c, t_c = fold(tab_k)
+                if dims == 3 and self.sym.n_elements:
                     f_c, t_c = reconstructor.symmetrize_cropped(
                         f_c, t_c, jnp.asarray(self.sym.rot.astype(np.float32)),
                         r_u, pf=para.pf,
                     )
                 maps.append((f_c, t_c))
-            # golden-standard FSC between the two raw half-F's is computed
-            # from reconstructed maps below
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
             vols = [
                 reconstructor.reconstruct_cropped(
                     f_c, t_c, fsc_k, self.n, pf=para.pf,
-                    max_radius=r_u, join_half=False,
+                    max_radius=r_u, join_half=join_half, dims=dims,
                 )
                 for (f_c, t_c) in maps
             ]
-            ft_a, ft_b = fft_ops.fft3_center(vols[0]), fft_ops.fft3_center(vols[1])
+            ft_a, ft_b = fftc(vols[0]), fftc(vols[1])
             fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
             half_maps.append([np.asarray(v) for v in vols])
             # hemisphere averaging below the band where FSC >= 0.95 thres
             band = int(spectrum.res_p(fsc_new, 0.95, r_low=1))
-            u = jnp.rint(fft_ops.radius_grid_3d(self.n)).astype(jnp.int32)
+            u = jnp.rint(radius(self.n)).astype(jnp.int32)
             avg = (ft_a + ft_b) / 2
             ft_a2 = jnp.where(u <= band, avg, ft_a)
             ft_b2 = jnp.where(u <= band, avg, ft_b)
-            new_refs.append(jnp.stack([
-                fft_ops.ifft3_center(ft_a2).real,
-                fft_ops.ifft3_center(ft_b2).real,
-            ]))
+            new_refs.append(jnp.stack([ifftc(ft_a2).real, ifftc(ft_b2).real]))
         self.fsc = np.stack(fscs)  # (K, shells)
         self.half_maps = half_maps
-        refs = jnp.stack(new_refs, axis=1)  # (2, K, n, n, n)
-        self.refs = refs
+        self.refs = jnp.stack(new_refs, axis=1)  # (2, K, [n,] n, n)
 
     # ------------------------------------------------------------------ run
+
+    def _seed_defocus_search(self):
+        """Entering CTF search: spread the defocus support around the
+        current factor with the configured stddev (Particle::initD,
+        ctfRefineS; src/Optimiser.cpp CTF-search setup)."""
+        s = self.para.ctf_refine_s
+        rng = np.random.default_rng(self.para.seed + 77)
+        d0 = self.par["topD"][..., None]
+        self.par["d"] = (d0 + rng.normal(0, s, self.par["d"].shape)
+                         ).astype(np.float32)
+        self.par["sD"] = np.full_like(self.par["sD"], s)
 
     def run_iteration(self):
         """One refinement round in the reference's order
@@ -946,9 +862,11 @@ class Optimiser:
 
         # --- maximization (src/Optimiser.cpp:3405-3520)
         if not para.skip_m:
+            stats = self._residual_stats()
             if self.iteration != 0 and search_type_in != SEARCH_TYPE_GLOBAL:
-                self.norm_correction()
-            self.maximization_sigma()
+                self.norm_correction(stats=stats)
+                stats = None  # stacks changed; sigma must re-measure
+            self.maximization_sigma(stats=stats)
             if (search_type_in == SEARCH_TYPE_GLOBAL and para.group_scl
                     and self.iteration != 0):
                 self.correct_scale(init=False, group=True)
@@ -970,9 +888,8 @@ class Optimiser:
             else:
                 self.solvent_flatten(para.perform_mask)
 
-        # resolution = best class's FSC crossing (the reference tracks _res
-        # per class and ladders on the best, src/Model.cpp resolution
-        # bookkeeping; round-1 keyed off class 0 only)
+        # resolution = best class's FSC crossing (src/Model.cpp resolution
+        # bookkeeping keeps per-class _res and ladders on the best)
         res = max(
             int(spectrum.res_p(jnp.asarray(self.fsc[k]),
                                para.thres_cutoff_fsc, r_low=1))
@@ -980,6 +897,9 @@ class Optimiser:
         ) if hasattr(self, "fsc") else self.ladder.res
         self.ladder.elevate(res)
         st = self.ladder.transition(para.l_search, para.c_search)
+        if (st == SEARCH_TYPE_CTF
+                and search_type_in != SEARCH_TYPE_CTF):
+            self._seed_defocus_search()
         self.iteration += 1
         rec = {
             "iter": self.iteration,
@@ -1006,10 +926,22 @@ class Optimiser:
 
     # ---------------------------------------------------------------- output
 
+    def _thu_quats(self):
+        """Flat-order pose quaternions for .thu output; 2D (cos, sin)
+        support vectors become rotations about z (the reference's 2D
+        quaternion convention)."""
+        q = self.best_quat
+        if self.para.mode == "2d":
+            phi = np.arctan2(q[:, 1], q[:, 0])
+            q = np.stack([np.cos(phi / 2), np.zeros_like(phi),
+                          np.zeros_like(phi), np.sin(phi / 2)], axis=-1)
+        return q
+
     def save_outputs(self, final=False):
         """Per-round writers with the reference's exact file naming
         (src/Optimiser.cpp:8250-9149): Reference_{k}_{A,B}_Round_{i}.mrc,
-        FSC_Round_{i}.txt, Class_Info_Round_{i}.txt, Meta_Round_{i}.thu."""
+        FSC_Round_{i}.txt, Class_Info_Round_{i}.txt, Meta_Round_{i}.thu;
+        2D mode writes the class-average stack Reference_Round_{i}.mrcs."""
         import os
 
         para = self.para
@@ -1019,20 +951,27 @@ class Optimiser:
         tag = "Final" if final else f"Round_{self.iteration:03d}"
 
         from ..io import write_mrc
-        from ..io.thu import ThuColumns, make_table, write_thu
+        from ..io.thu import make_table, write_thu
 
         if para.save_ref_each_iter or final:
-            for k in range(para.k):
-                if final:
-                    write_mrc(f"{prefix}Reference_{k:03d}_Final.mrc",
-                              np.asarray((self.refs[0, k] + self.refs[1, k]) / 2),
-                              voxel_size=para.pixel_size)
-                for h, hn in ((0, "A"), (1, "B")):
-                    write_mrc(
-                        f"{prefix}Reference_{k:03d}_{hn}_{tag}.mrc",
-                        np.asarray(self.refs[h, k]),
-                        voxel_size=para.pixel_size,
-                    )
+            if para.mode == "2d":
+                # class-average stack (viewable in thunder_stackview)
+                stack = np.asarray((self.refs[0] + self.refs[1]) / 2)
+                write_mrc(f"{prefix}Reference_{tag}.mrcs", stack,
+                          voxel_size=para.pixel_size)
+            else:
+                for k in range(para.k):
+                    if final:
+                        write_mrc(
+                            f"{prefix}Reference_{k:03d}_Final.mrc",
+                            np.asarray((self.refs[0, k] + self.refs[1, k]) / 2),
+                            voxel_size=para.pixel_size)
+                    for h, hn in ((0, "A"), (1, "B")):
+                        write_mrc(
+                            f"{prefix}Reference_{k:03d}_{hn}_{tag}.mrc",
+                            np.asarray(self.refs[h, k]),
+                            voxel_size=para.pixel_size,
+                        )
 
         if hasattr(self, "fsc"):
             with open(f"{prefix}FSC_{tag}.txt", "w") as f:
@@ -1040,17 +979,16 @@ class Optimiser:
                     row = " ".join(f"{self.fsc[k][i]:.6f}" for k in range(para.k))
                     f.write(f"{i} {row}\n")
             with open(f"{prefix}Class_Info_{tag}.txt", "w") as f:
+                distr = self.refresh_class_distr()
                 for k in range(para.k):
-                    frac = float(np.mean(self.best_class == k))
                     res = int(spectrum.res_p(jnp.asarray(self.fsc[k]),
                                              para.thres_report_fsc, r_low=1))
                     res_a = self.n * para.pixel_size / max(res, 1)
-                    f.write(f"{k} {frac:.6f} {res_a:.6f}\n")
+                    f.write(f"{k} {distr[k]:.6f} {res_a:.6f}\n")
 
         if para.save_thu_each_iter or final:
-            st = self.par
-            k1 = np.asarray(st["k1"]); k2 = np.asarray(st["k2"])
-            k3 = np.asarray(st["k3"])
+            flat = {k: self._from_plane(v) for k, v in self.par.items()}
+            q = self._thu_quats()
             table = make_table(
                 self.n_imgs,
                 particle_paths=getattr(
@@ -1058,25 +996,25 @@ class Optimiser:
                     [f"{i+1}@unknown.mrcs" for i in range(self.n_imgs)]),
                 micrograph_paths=getattr(
                     self, "micrograph_paths", ["none"] * self.n_imgs),
-                voltage=np.asarray(self.ctf_params["voltage"]),
-                defocus_u=np.asarray(self.ctf_params["defocus_u"]),
-                defocus_v=np.asarray(self.ctf_params["defocus_v"]),
-                defocus_theta=np.asarray(self.ctf_params["defocus_theta"]),
-                cs=np.asarray(self.ctf_params["cs"]),
-                amplitude_contrast=np.asarray(self.ctf_params["amp_contrast"]),
-                phase_shift=np.asarray(self.ctf_params["phase_shift"]),
+                voltage=self._from_plane(self.ctf_params["voltage"]),
+                defocus_u=self._from_plane(self.ctf_params["defocus_u"]),
+                defocus_v=self._from_plane(self.ctf_params["defocus_v"]),
+                defocus_theta=self._from_plane(self.ctf_params["defocus_theta"]),
+                cs=self._from_plane(self.ctf_params["cs"]),
+                amplitude_contrast=self._from_plane(self.ctf_params["amp_contrast"]),
+                phase_shift=self._from_plane(self.ctf_params["phase_shift"]),
                 group_id=self.group_ids + 1,
-                class_id=self.best_class,
-                quat_0=self.best_quat[:, 0], quat_1=self.best_quat[:, 1],
-                quat_2=self.best_quat[:, 2], quat_3=self.best_quat[:, 3],
-                k1=k1, k2=k2, k3=k3,
-                translation_x=self.best_trans[:, 0],
-                translation_y=self.best_trans[:, 1],
-                std_translation_x=np.asarray(st["s0"]),
-                std_translation_y=np.asarray(st["s1"]),
-                defocus_factor=self.best_defocus,
-                std_defocus_factor=np.asarray(st["sD"]),
-                score=self.scores,
+                class_id=flat["c"],
+                quat_0=q[:, 0], quat_1=q[:, 1],
+                quat_2=q[:, 2], quat_3=q[:, 3],
+                k1=flat["k1"], k2=flat["k2"], k3=flat["k3"],
+                translation_x=flat["topT"][:, 0],
+                translation_y=flat["topT"][:, 1],
+                std_translation_x=flat["s0"],
+                std_translation_y=flat["s1"],
+                defocus_factor=flat["topD"],
+                std_defocus_factor=flat["sD"],
+                score=self._from_plane(self.scores),
             )
             name = "Meta_Final.thu" if final else f"Meta_{tag}.thu"
             write_thu(f"{prefix}{name}", table)

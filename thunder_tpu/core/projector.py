@@ -25,19 +25,21 @@ from ..ops.interp import linear_gather, nearest_gather
 from ..ops.kernels import tik_rl, nik_rl
 
 
-def _pad_rl(vol, pf):
-    """Zero-pad centered real-space array to pf x size per axis, keeping the
-    object center at (pf n)//2 (VOL_PAD_RL semantics)."""
+def _pad_rl(vol, pf, dims=None):
+    """Zero-pad the last ``dims`` spatial axes to pf x size per axis,
+    keeping the object center at (pf n)//2 (VOL_PAD_RL semantics). Leading
+    batch/class axes are untouched."""
+    dims = vol.ndim if dims is None else dims
     n = vol.shape[-1]
     m = n * pf
     lo = m // 2 - n // 2
-    widths = [(lo, m - n - lo)] * vol.ndim
+    widths = [(0, 0)] * (vol.ndim - dims) + [(lo, m - n - lo)] * dims
     return jnp.pad(vol, widths)
 
 
-def _grid_correct_rl(vol, pf, interp="linear"):
+def _grid_correct_rl(vol, pf, interp="linear", dims=None):
+    dims = vol.ndim if dims is None else dims
     n_pad = vol.shape[-1]
-    dims = vol.ndim
     grids = []
     for ax in range(dims):
         f = jnp.arange(n_pad, dtype=jnp.float32) - n_pad // 2
@@ -50,17 +52,18 @@ def _grid_correct_rl(vol, pf, interp="linear"):
 
 
 def build_projectee_3d(vol_rl, pf=2, interp="linear", grid_correct=True):
-    """Real-space volume (n, n, n) -> padded centered spectrum (pf n,)*3."""
-    padded = _pad_rl(vol_rl, pf)
+    """Real-space volume (..., n, n, n) -> padded centered spectrum
+    (..., pf n, pf n, pf n)."""
+    padded = _pad_rl(vol_rl, pf, dims=3)
     if grid_correct:
-        padded = _grid_correct_rl(padded, pf, interp)
+        padded = _grid_correct_rl(padded, pf, interp, dims=3)
     return fft3_center(padded)
 
 
 def build_projectee_2d(img_rl, pf=2, interp="linear", grid_correct=True):
-    padded = _pad_rl(img_rl, pf)
+    padded = _pad_rl(img_rl, pf, dims=2)
     if grid_correct:
-        padded = _grid_correct_rl(padded, pf, interp)
+        padded = _grid_correct_rl(padded, pf, interp, dims=2)
     return fft2_center(padded)
 
 

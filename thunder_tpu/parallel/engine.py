@@ -1,0 +1,543 @@
+"""Sharded SPMD execution engine over the (half, data) mesh.
+
+This is the integration layer the reference implements with its MPI
+topology: hemisphere A/B ranks + per-rank particle ranges
+(src/Parallel.cpp:17-67, src/Database.cpp:621-645), OpenMP image loops
+(src/Optimiser.cpp:740-758, :1138-1660), NCCL/MPI volume allreduces
+(src/Reconstructor.cpp:2350-2486, gpu/src/cuthunder.cu:3929-4033) and
+slave-communicator stat allreduces (src/Optimiser.cpp:6397). Here each
+becomes one ``shard_map``-ed program over ``Mesh((half, data))``:
+
+- images (and the whole particle-filter state) live in HALF-PLANE layout
+  ``(2, S, ...)`` sharded ``P(half, data)``: plane 0 = hemisphere A,
+  plane 1 = hemisphere B, S slots per hemisphere (padded to a multiple of
+  the data-axis size; invalid slots carry weight 0),
+- per-hemisphere reference brick tables are sharded ``P(half)``: each
+  device holds only its hemisphere's classes (both, on a 1-half mesh),
+- the E-step (global scan + particle-filter local search) needs NO
+  collectives — it runs to completion device-locally, including the
+  adaptive phase loop (a ``lax.while_loop`` per image chunk; divergent
+  trip counts across devices are fine because nothing inside
+  communicates),
+- the gridding insert reduces its class-fused brick accumulators with
+  ``psum("data")`` — the hemisphere volume allreduce — and returns
+  per-half accumulators,
+- M-step statistics (sigma / intensity scale / norm) reduce with
+  ``psum(("half", "data"))`` — the reference's slave-communicator
+  allreduce.
+
+Randomness is driven by PER-IMAGE keys carried with the images (derived
+from the global image index, not the slot position), so results do not
+depend on the mesh shape — the 1-device and 8-device programs produce
+identical posteriors (tested in tests/test_engine.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..dtypes import real_dtype
+from ..geom import quat
+from ..ops import brick, likelihood
+from ..ops import ctf as ctf_ops
+from ..ops.translate import translation_phase
+from ..core import particle, projector
+from .mesh import DATA_AXIS, HALF_AXIS
+
+# ctf param packing order for the (2, S, 7) array
+CTF_FIELDS = ("voltage", "defocus_u", "defocus_v", "defocus_theta", "cs",
+              "amp_contrast", "phase_shift")
+
+
+def plane_sharding(mesh):
+    """Half-plane layout (2, S, ...): plane axis over ``half``, slots over
+    ``data``."""
+    return NamedSharding(mesh, P(HALF_AXIS, DATA_AXIS))
+
+
+def half_sharding(mesh):
+    return NamedSharding(mesh, P(HALF_AXIS))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def pack_ctf(cp):
+    """ctf param dict of (...,) arrays -> (..., 7) packed array."""
+    return jnp.stack([jnp.asarray(cp[f], real_dtype) for f in CTF_FIELDS],
+                     axis=-1)
+
+
+def plane_keys(key, plane_index):
+    """(2, S) global image indices -> (2, S, 2) uint32 per-image keys.
+    Layout-independent: each key is fold_in(key, global index), so the same
+    image gets the same randomness on any mesh shape."""
+    idx = jnp.asarray(plane_index, jnp.uint32)
+    ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx.reshape(-1))
+    return ks.reshape(idx.shape + (2,))
+
+
+def _chunked(x, chunk):
+    """(S, ...) -> (C, chunk, ...), padded by repeating row 0 (results for
+    pad rows are discarded by _unchunked)."""
+    s = x.shape[0]
+    c = -(-s // chunk)
+    pad = c * chunk - s
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
+    return x.reshape((c, chunk) + x.shape[1:])
+
+
+def _unchunked(x, s):
+    return x.reshape((-1,) + x.shape[2:])[:s]
+
+
+def _rot_mats(r_sup, mode):
+    """Support rotations -> matrices. 2D convention: (w, x) slots hold
+    (cos phi, sin phi) of the FULL in-plane angle."""
+    if mode == "2d":
+        c, s = r_sup[..., 0], r_sup[..., 1]
+        return jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    return quat.rotate3d(r_sup)
+
+
+def _project_class_stack(bricks_h, rots, col, row, pf, mode):
+    """All-class projections (K, R, P) from one hemisphere's brick tables."""
+    if mode == "2d":
+        return jax.vmap(
+            lambda tab: projector.project_brick_2d(tab, rots, col, row, pf=pf)
+        )(bricks_h)
+    return jax.vmap(
+        lambda tab: projector.project_brick_3d(tab, rots, col, row, pf=pf)
+    )(bricks_h)
+
+
+def _fused_class_gather(flat, coords, cls, mc, mode):
+    """Gather each image's slice from ITS class's brick table: one fused
+    row-fetch with the class folded into the flat index (no K-fold
+    projection + select; src/Optimiser.cpp:925-955 evaluates only the drawn
+    class in phase B). flat: (K * mc^d, 2 * corners) packed table."""
+    if mode == "2d":
+        idx, w_c, valid = brick._corners2(coords, mc)
+        n_vox, n_corner = mc**2, 4
+    else:
+        idx, w_c, valid = brick._corners3(coords, mc)
+        n_vox, n_corner = mc**3, 8
+    idx = jnp.where(valid, idx, 0) + (cls * n_vox).reshape(
+        (-1,) + (1,) * (idx.ndim - 1))
+    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+        idx.shape + (2 * n_corner,))
+    re = jnp.sum(rows[..., :n_corner] * w_c, -1)
+    im = jnp.sum(rows[..., n_corner:] * w_c, -1)
+    return jnp.where(valid, jax.lax.complex(re, im), 0.0)
+
+
+def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode):
+    """Scatter pose-weighted pixels into the class-fused brick accumulator
+    ((K * mc^d + 1, width) rows; last row is the drop slot). cls: (B,)."""
+    if mode == "2d":
+        idx, w_c, valid = brick._corners2(coords, mc)
+        n_vox = mc**2
+    else:
+        idx, w_c, valid = brick._corners3(coords, mc)
+        n_vox = mc**3
+    k_cls = (tab.shape[0] - 1) // n_vox
+    idx = idx + (cls * n_vox).reshape((-1,) + (1,) * (idx.ndim - 1))
+    idx = jnp.where(valid, idx, k_cls * n_vox)
+    contrib = jnp.concatenate(
+        [fv.real[..., None] * w_c, fv.imag[..., None] * w_c,
+         tv[..., None] * w_c], -1)
+    width = contrib.shape[-1]
+    return tab.at[idx.reshape(-1)].add(contrib.reshape(-1, width))
+
+
+# ------------------------------------------------------------- global scan
+
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "m_l_r", "m_l_t",
+                                   "m_l_d", "chunk"))
+def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
+              dat, ctf, sig_rcp, keys, *, mode, pf, m_l_r, m_l_t, m_l_d,
+              chunk):
+    """Phase A: dense pose scan for every image against its hemisphere's
+    class references, fused with the particle-filter seeding
+    (src/Optimiser.cpp:633-1136). No collectives — per-image work only.
+
+    bricks: (2, K, ...) per-half class brick tables
+    rots: (R, d, d) scan rotations; quats (R, 4); tra (T, P); trans (T, 2)
+    dat/ctf/sig_rcp: (2, S, P) half-plane image pixels
+    keys: (2, S, 2) per-image base keys
+    Returns (par_state pytree (2, S, ...), wC (2, S, K)).
+    """
+    lh = 2 // mesh.shape[HALF_AXIS]
+
+    def local(bricks, rots, quats, tra, trans, col, row, pmask,
+              dat, ctf, sig_rcp, keys):
+        outs, wcs = [], []
+        for h in range(lh):
+            proj = _project_class_stack(bricks[h], rots, col, row, pf, mode)
+            s_loc = dat.shape[1]
+
+            def chunk_fn(args, proj=proj):
+                d, c, s, ky = args
+                out = likelihood.global_search_weights(
+                    d, c, s, proj, tra, pixel_mask=pmask)
+                ky3 = jax.vmap(lambda k: jax.random.split(k, 3))(ky)
+                st = particle.init_from_scan(
+                    ky3, out["wC"], out["wR"], out["wT"], quats, trans,
+                    m_l_r, m_l_t, m_l_d, mode=mode)
+                return st, out["wC"]
+
+            st, wc = jax.lax.map(chunk_fn, tuple(
+                _chunked(x[h], chunk) for x in (dat, ctf, sig_rcp, keys)))
+            outs.append(jax.tree.map(lambda x: _unchunked(x, s_loc), st))
+            wcs.append(_unchunked(wc, s_loc))
+        st = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return st, jnp.stack(wcs)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS),) + (P(),) * 7
+        + (P(HALF_AXIS, DATA_AXIS),) * 4,
+        out_specs=(P(HALF_AXIS, DATA_AXIS), P(HALF_AXIS, DATA_AXIS)),
+        check_vma=False,
+    )(bricks, rots, quats, tra, trans, col, row, pmask, dat, ctf, sig_rcp,
+      keys)
+
+
+# ------------------------------------------------------------ local search
+
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "pixel_size",
+                                   "ctf_search", "min_phase", "chunk"))
+def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
+                 keys, cp, sym_quats, factor_l, factor_s, factor_d,
+                 *, mode, pf, n, pixel_size, ctf_search, min_phase, chunk):
+    """Phase B: the particle-filter local refinement, fully device-resident
+    (src/Optimiser.cpp:1138-1660). Each image chunk runs a masked
+    ``lax.while_loop`` over phases with the reference's termination rule —
+    one dispatch covers the whole E-step refinement, no host sync per phase.
+
+    state: particle pytree (2, S, ...); keys: (2, S, 2) per-image base keys;
+    cp: (2, S, 7) packed CTF params (pack_ctf); sym_quats: (G, 4) without
+    identity. Returns the updated state.
+    """
+    lh = 2 // mesh.shape[HALF_AXIS]
+    max_phase = particle.MAX_N_PHASE_PER_ITER
+
+    def local(bricks, col, row, pmask, dat, ctf, sig_rcp, state, keys,
+              cp, sym_quats, factor_l, factor_s, factor_d):
+        # everything phase_fn touches is a shard-local value from this scope
+        def phase_fn(phase, st, d_px, c_px, s_px, cpv, active, keys_c,
+                     flat_tab, mc):
+            """One phase: perturb -> fused-class project -> factored
+            likelihood -> posterior update; frozen images pass through."""
+            kph = jax.vmap(jax.random.fold_in)(keys_c, jnp.full(
+                (keys_c.shape[0],), phase, jnp.uint32))
+            subs = jax.vmap(lambda k: jax.random.split(k, 7))(kph)  # (B,7,2)
+            factor = jnp.where(phase == 0, factor_l, factor_s)
+
+            if mode == "2d":
+                r_new = particle.perturb_r_2d(subs[:, 0], st["r"], st["k1"],
+                                              factor)
+            else:
+                r_new = particle.perturb_r(subs[:, 0], st["r"], st["k1"],
+                                           st["k2"], st["k3"], factor,
+                                           sym_quats=sym_quats)
+            t_new = particle.perturb_t(subs[:, 1], st["t"], st["s0"],
+                                       st["s1"], factor)
+            st = {
+                **st,
+                "r": jnp.where(active[:, None, None], r_new, st["r"]),
+                "t": jnp.where(active[:, None, None], t_new, st["t"]),
+            }
+            if ctf_search:
+                # defocus perturbed from phase 1 on (the phase-0 support is
+                # the loaded/previous one, src/Optimiser.cpp:1191-1209)
+                d_new = particle.perturb_d(subs[:, 2], st["d"], st["sD"],
+                                           factor_d)
+                d_new = jnp.where(phase > 0, d_new, st["d"])
+                st["d"] = jnp.where(active[:, None], d_new, st["d"])
+
+            rots = _rot_mats(st["r"], mode)
+            if mode == "2d":
+                coords = projector.slice_coords_2d(rots, col, row, pf=pf)
+            else:
+                coords = projector.slice_coords_3d(rots, col, row, pf=pf)
+            proj = _fused_class_gather(flat_tab, coords, st["c"], mc, mode)
+            tra = translation_phase(col, row, st["t"][..., 0],
+                                    st["t"][..., 1], n)
+            ctf_d = None
+            if ctf_search:
+                ctf_d = ctf_ops.ctf_pixels(
+                    col, row, n, pixel_size,
+                    cpv[:, 0:1], cpv[:, 1:2], cpv[:, 2:3], cpv[:, 3:4],
+                    cpv[:, 4:5], cpv[:, 5:6], cpv[:, 6:7],
+                    defocus_factor=st["d"],
+                )
+            u_r, u_t, u_d = likelihood.local_search_weights(
+                d_px, c_px, s_px, proj, tra, st["wR"], st["wT"], st["wD"],
+                ctf_d=ctf_d, pixel_mask=pmask,
+            )
+            if ctf_search:
+                # defocus peak factor is set at phase 0 (setPeakFactor,
+                # src/Optimiser.cpp:1430)
+                pf_d = particle.cal_peak_factor(
+                    u_d, particle.peak_idx_d(u_d.shape[-1]))
+                st = {**st, "pfD": jnp.where(phase == 0, pf_d, st["pfD"])}
+            new_st = particle.update_from_likelihood(
+                st, subs[:, 3:7], u_r, u_t, u_d, with_d=ctf_search,
+                sym_quats=sym_quats, mode=mode,
+            )
+            prev_vari = {k: st[k]
+                         for k in ("k1", "k2", "k3", "s0", "s1", "sD")}
+            out = {
+                k: jnp.where(active.reshape((-1,) + (1,) * (v.ndim - 1)), v,
+                             st[k])
+                for k, v in new_st.items()
+            }
+            shrank = particle.vari_shrank(out, prev_vari, mode=mode)
+            return out, shrank
+
+        outs = []
+        for h in range(lh):
+            mc = bricks.shape[2]
+            n_chan = bricks.shape[-1]
+            flat = bricks[h].reshape((-1, n_chan))
+            s_loc = dat.shape[1]
+            st_h = jax.tree.map(lambda x: x[h], state)
+
+            def chunk_fn(args, flat_tab=flat, mc_=mc):
+                st0, d, c, s, ky, cpv = args
+
+                def cond(carry):
+                    phase, _, _, done = carry
+                    return (phase < max_phase) & ~jnp.all(done)
+
+                def body(carry):
+                    phase, st, no_dec, done = carry
+                    st2, shrank = phase_fn(phase, st, d, c, s, cpv, ~done,
+                                           ky, flat_tab, mc_)
+                    chk = phase >= min_phase
+                    no_dec = jnp.where(
+                        chk & ~done, jnp.where(shrank, 0, no_dec + 1), no_dec)
+                    done = done | (chk & (
+                        no_dec >= particle.N_PHASE_WITH_NO_VARI_DECREASE))
+                    return phase + 1, st2, no_dec, done
+
+                b = d.shape[0]
+                _, st_f, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.zeros((), jnp.int32), st0,
+                     jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool)),
+                )
+                return st_f
+
+            st = jax.lax.map(chunk_fn, (
+                jax.tree.map(lambda x: _chunked(x, chunk), st_h),
+                _chunked(dat[h], chunk), _chunked(ctf[h], chunk),
+                _chunked(sig_rcp[h], chunk), _chunked(keys[h], chunk),
+                _chunked(cp[h], chunk),
+            ))
+            outs.append(jax.tree.map(lambda x: _unchunked(x, s_loc), st))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS),) + (P(),) * 3
+        + (P(HALF_AXIS, DATA_AXIS),) * 6 + (P(),) * 4,
+        out_specs=P(HALF_AXIS, DATA_AXIS),
+        check_vma=False,
+    )(bricks, col, row, pmask, dat, ctf, sig_rcp, state, keys, cp,
+      sym_quats, factor_l, factor_s, factor_d)
+
+
+# --------------------------------------------------------- gridding insert
+
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
+                                   "mc", "n_draw", "chunk"))
+def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
+                  *, mode, pf, n, k_classes, mc, n_draw, chunk):
+    """M-step gridding insert: draw ``n_draw`` poses per image from its
+    particle filter (support points post-resample are uniform-weighted, so
+    a uniform index draw IS a posterior draw; Optimiser::reconstructRef
+    draws mReco support points, src/Optimiser.cpp:6711+), scatter each into
+    its class's brick accumulator, and ``psum`` the accumulators over the
+    data axis — the hemisphere volume allreduce
+    (src/Reconstructor.cpp:2350-2486, gpu/src/cuthunder.cu:3929-4033).
+
+    dat/ctf: (2, S, P); state: particle pytree (2, S, ...); keys (2, S, 2);
+    w_img: (2, S) insertion weight (score / n_draw, 0 for invalid slots).
+    Returns (tabs (2, K * mc^d + 1, width), offsets (2, K, 3)) where
+    offsets[..., :2] accumulate the drawn translations and [..., 2] the
+    weights (allReduceO, src/Reconstructor.cpp:2455-2520).
+    """
+    lh = 2 // mesh.shape[HALF_AXIS]
+    n_vox = mc**2 if mode == "2d" else mc**3
+    width = 12 if mode == "2d" else 24
+
+    def local(col_, row_, pmask_, dat, ctf, state, keys, w_img):
+        tabs, offs = [], []
+        for h in range(lh):
+            st_h = jax.tree.map(lambda x: x[h], state)
+            s_loc = dat.shape[1]
+
+            def chunk_step(carry, args):
+                tab, off = carry
+                d, c, ky, w, r_sup, t_sup, cls = args
+                b = d.shape[0]
+                k1 = jax.vmap(lambda k: jax.random.fold_in(k, 101))(ky)
+                k2 = jax.vmap(lambda k: jax.random.fold_in(k, 102))(ky)
+                ri = jax.vmap(
+                    lambda k: jax.random.randint(k, (n_draw,), 0,
+                                                 r_sup.shape[1]))(k1)
+                ti = jax.vmap(
+                    lambda k: jax.random.randint(k, (n_draw,), 0,
+                                                 t_sup.shape[1]))(k2)
+                q_d = jnp.take_along_axis(r_sup, ri[..., None], axis=1)
+                t_d = jnp.take_along_axis(t_sup, ti[..., None], axis=1)
+                rots = _rot_mats(q_d, mode)  # (B, n_draw, d, d)
+                if mode == "2d":
+                    coords = projector.slice_coords_2d(rots, col_, row_,
+                                                       pf=pf)
+                else:
+                    coords = projector.slice_coords_3d(rots, col_, row_,
+                                                       pf=pf)
+                tra = translation_phase(col_, row_, -t_d[..., 0],
+                                        -t_d[..., 1], n)  # (B, n_draw, P)
+                wv = (w[:, None, None] * pmask_).astype(real_dtype)
+                fv = d[:, None, :] * tra * c[:, None, :] * wv
+                tv = (c[:, None, :] ** 2) * wv
+                tab = _fused_class_insert(tab, coords, cls, fv, tv, mc, mode)
+                # translation-offset accumulation per class (allReduceO)
+                w_pt = jnp.broadcast_to(w[:, None], t_d.shape[:2])
+                o_add = jnp.stack(
+                    [t_d[..., 0] * w_pt, t_d[..., 1] * w_pt, w_pt], -1)
+                off = off.at[cls].add(jnp.sum(o_add, axis=1))
+                return (tab, off), 0.0
+
+            tab0 = jnp.zeros((k_classes * n_vox + 1, width), jnp.float32)
+            off0 = jnp.zeros((k_classes, 3), real_dtype)
+            (tab, off), _ = jax.lax.scan(chunk_step, (tab0, off0), (
+                _chunked(dat[h], chunk), _chunked(ctf[h], chunk),
+                _chunked(keys[h], chunk), _chunked(w_img[h], chunk),
+                _chunked(st_h["r"], chunk), _chunked(st_h["t"], chunk),
+                _chunked(st_h["c"], chunk),
+            ))
+            tabs.append(jax.lax.psum(tab, DATA_AXIS))
+            offs.append(jax.lax.psum(off, DATA_AXIS))
+        return jnp.stack(tabs), jnp.stack(offs)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),) * 3 + (P(HALF_AXIS, DATA_AXIS),) * 5,
+        out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
+        check_vma=False,
+    )(col, row, pmask, dat, ctf, state, keys, w_img)
+
+
+# -------------------------------------------------------- M-step statistics
+
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "n_groups",
+                                   "n_shell", "chunk"))
+def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
+                   ctf, state, groups, valid, tra_off,
+                   *, mode, pf, n, n_groups, n_shell, chunk):
+    """One pass of rank-1-pose residual statistics for the M-step, reduced
+    with ``psum((half, data))`` — the reference's slave-communicator
+    allreduces (allReduceSigma src/Optimiser.cpp:6397, refreshScale :5749,
+    normCorrection :6201).
+
+    Per image, project its class at its rank-1 rotation and translate by
+    (topT - offset) for the ORI stack / topT for the masked stack, then
+    accumulate per-shell sums:
+      - sig:   (G, n_shell) sum over group images of |datOri - ctf pri|^2
+               with (G,) counts            [sigma, ori stack]
+      - xa/aa: (G, n_shell) scale-fit terms Re(dat conj(ctf pri)), |ctf pri|^2
+               [scale, ori stack]
+      - norm:  (2, S, n_shell) per-image residual shells [norm, masked stack]
+
+    tra_off: (2, S, 2) accumulated re-centring offsets. Shell selection into
+    frequency bands happens on the host (bands are iteration-dependent).
+    """
+    lh = 2 // mesh.shape[HALF_AXIS]
+
+    def local(bricks, col_, row_, sig_idx_, pmask_, dat, dat_ori, ctf,
+              state, groups, valid, tra_off):
+        sig = jnp.zeros((n_groups, n_shell), jnp.float32)
+        cnt = jnp.zeros((n_groups,), jnp.float32)
+        xa = jnp.zeros((n_groups, n_shell), jnp.float32)
+        aa = jnp.zeros((n_groups, n_shell), jnp.float32)
+        norms = []
+        for h in range(lh):
+            mc = bricks.shape[2]
+            n_chan = bricks.shape[-1]
+            flat = bricks[h].reshape((-1, n_chan))
+            st_h = jax.tree.map(lambda x: x[h], state)
+            s_loc = dat.shape[1]
+
+            def chunk_step(carry, args):
+                sig, cnt, xa, aa = carry
+                d, d_o, c, g, v, off, topr, topt, cls = args
+                rots = _rot_mats(topr[:, None], mode)  # (B, 1, d, d)
+                if mode == "2d":
+                    coords = projector.slice_coords_2d(rots, col_, row_,
+                                                       pf=pf)
+                else:
+                    coords = projector.slice_coords_3d(rots, col_, row_,
+                                                       pf=pf)
+                pri = _fused_class_gather(flat, coords, cls, mc, mode)[:, 0]
+                t_o = topt - off
+                tra_o = translation_phase(col_, row_, t_o[:, 0], t_o[:, 1], n)
+                tra_m = translation_phase(col_, row_, topt[:, 0],
+                                          topt[:, 1], n)
+                pm = pmask_ * v[:, None]
+                res_o = jnp.abs(d_o - c * pri * tra_o) ** 2 * pm
+                res_m = jnp.abs(d - c * pri * tra_m) ** 2 * pm
+                cp_o = c * pri * tra_o
+                xa_l = (jnp.conj(d_o) * cp_o).real * pm
+                aa_l = (cp_o.real**2 + cp_o.imag**2) * pm
+
+                def to_shell(x):  # (B, P) -> (B, n_shell)
+                    z = jnp.zeros(x.shape[:-1] + (n_shell,), jnp.float32)
+                    return z.at[..., sig_idx_].add(x)
+
+                sh_o = to_shell(res_o)
+                sh_m = to_shell(res_m)
+                sig2 = sig.at[g].add(sh_o)
+                cnt2 = cnt.at[g].add(v)
+                xa2 = xa.at[g].add(to_shell(xa_l))
+                aa2 = aa.at[g].add(to_shell(aa_l))
+                return (sig2, cnt2, xa2, aa2), sh_m
+
+            (sig, cnt, xa, aa), norm_c = jax.lax.scan(
+                chunk_step, (sig, cnt, xa, aa), (
+                    _chunked(dat[h], chunk), _chunked(dat_ori[h], chunk),
+                    _chunked(ctf[h], chunk), _chunked(groups[h], chunk),
+                    _chunked(valid[h], chunk), _chunked(tra_off[h], chunk),
+                    _chunked(st_h["topR"], chunk),
+                    _chunked(st_h["topT"], chunk),
+                    _chunked(st_h["c"], chunk),
+                ))
+            norms.append(_unchunked(norm_c, s_loc))
+        sig = jax.lax.psum(sig, (HALF_AXIS, DATA_AXIS))
+        cnt = jax.lax.psum(cnt, (HALF_AXIS, DATA_AXIS))
+        xa = jax.lax.psum(xa, (HALF_AXIS, DATA_AXIS))
+        aa = jax.lax.psum(aa, (HALF_AXIS, DATA_AXIS))
+        return sig, cnt, xa, aa, jnp.stack(norms)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS),) + (P(),) * 4
+        + (P(HALF_AXIS, DATA_AXIS),) * 7,
+        out_specs=(P(), P(), P(), P(), P(HALF_AXIS, DATA_AXIS)),
+        check_vma=False,
+    )(bricks, col, row, sig_idx, pmask, dat, dat_ori, ctf, state, groups,
+      valid, tra_off)
