@@ -173,16 +173,36 @@ def cmd_postprocess(args):
 
 
 def cmd_genmask(args):
+    """thunder_genmask (appsrc/thunder_genmask.cpp): explicit --threshold,
+    or the reference's partial-sum auto threshold when omitted
+    (src/Functions/Mask.cpp:733-790)."""
     _jax_cpu_if_requested(args)
-    import jax.numpy as jnp
-
     from ..io import read_mrc, write_mrc
-    from ..ops.mask import gen_mask
+    from ..ops.mask import auto_mask_threshold, gen_mask
 
     vol, hdr = read_mrc(args.input, return_header=True)
-    m = gen_mask(jnp.asarray(vol), args.density_ratio, args.extend, args.edge)
+    thres = args.threshold
+    if thres is None:
+        r = args.radius if args.radius else vol.shape[-1] / 2
+        thres = auto_mask_threshold(vol, r)
+        print(f"auto threshold: {thres:.6g}")
+    m = gen_mask(vol, thres, args.extend, args.edge)
     write_mrc(args.output, np.asarray(m), voxel_size=hdr.voxel_size)
     print(f"wrote mask {args.output}")
+
+
+def cmd_genmask_shell(args):
+    """thunder_genmask_shell (appsrc/thunder_genmask_shell.cpp): shell mask
+    between two radii (in angstroms) with cosine edges."""
+    _jax_cpu_if_requested(args)
+    from ..io import write_mrc
+    from ..ops.mask import shell_mask
+
+    n = args.boxsize
+    m = shell_mask((n, n, n), args.inner_radius / args.pixelsize,
+                   args.outer_radius / args.pixelsize, args.edgewidth)
+    write_mrc(args.output, np.asarray(m), voxel_size=args.pixelsize)
+    print(f"wrote shell mask {args.output}")
 
 
 def _filter_tool(args, fn):
@@ -365,10 +385,22 @@ def main(argv=None):
 
     s = sub.add_parser("genmask")
     s.add_argument("input"); s.add_argument("output")
-    s.add_argument("--density-ratio", type=float, default=0.02)
+    s.add_argument("--threshold", type=float, default=None,
+                   help="density threshold (auto partial-sum search if omitted)")
+    s.add_argument("--radius", type=float, default=0,
+                   help="search radius in pixels for the auto threshold")
     s.add_argument("--extend", type=float, default=3)
     s.add_argument("--edge", type=float, default=6)
     s.set_defaults(fn=cmd_genmask)
+
+    s = sub.add_parser("genmask_shell")
+    s.add_argument("output")
+    s.add_argument("--boxsize", type=int, required=True)
+    s.add_argument("--inner-radius", type=float, required=True)
+    s.add_argument("--outer-radius", type=float, required=True)
+    s.add_argument("--edgewidth", type=float, default=6)
+    s.add_argument("--pixelsize", type=float, default=1.0)
+    s.set_defaults(fn=cmd_genmask_shell)
 
     s = sub.add_parser("lowpass")
     s.add_argument("input"); s.add_argument("output")

@@ -51,6 +51,18 @@ SEARCH_TYPE_LOCAL = 1
 SEARCH_TYPE_CTF = 2
 SEARCH_TYPE_STOP = 3
 
+def _centroid(vol):
+    """Density centroid of a (n, n, n) map in centered (x, y, z) voxel
+    coordinates (centroid(), used for the subtraction region centre,
+    src/Optimiser.cpp:4195)."""
+    v = np.maximum(np.asarray(vol, np.float64), 0.0)
+    n = vol.shape[-1]
+    g = np.mgrid[:n, :n, :n].astype(np.float64) - n // 2  # (z, y, x)
+    tot = max(v.sum(), 1e-30)
+    return np.array([(g[2] * v).sum(), (g[1] * v).sum(),
+                     (g[0] * v).sum()]) / tot
+
+
 # ladder constants (include/Model.h:47-101)
 MAX_ITER_R_CHANGE_NO_DECREASE_GLOBAL = 2
 MAX_ITER_R_CHANGE_NO_DECREASE_LOCAL = 0
@@ -763,11 +775,16 @@ class Optimiser:
         """Provided reference mask volume (n, n, n) in [0, 1]."""
         self.mask_vol = np.asarray(vol, np.float32)
 
-    def reconstruct(self, r_u=None, join_half=False):
+    def reconstruct(self, r_u=None, join_half=False, avg=True, final=False):
         """Sharded gridding insert (engine.insert_reduce: per-class brick
         accumulators psum'd over the data axis), then per-half Wiener-FSC
         reconstruction, golden-standard FSC and hemisphere low-band
-        averaging (Model::compareTwoHemispheres, src/Model.cpp:307-850)."""
+        averaging (Model::compareTwoHemispheres, src/Model.cpp:307-850).
+
+        ``avg=False`` skips the hemisphere averaging (the final round keeps
+        the halves independent, src/Optimiser.cpp:4124-4130); ``final``
+        additionally reconstructs the Cref-weighted JOINED map per class
+        from the summed accumulators (saveMapJoin, :8832)."""
         para = self.para
         dims = 2 if para.mode == "2d" else 3
         r_u = self.ladder.r_u if r_u is None else r_u
@@ -777,7 +794,10 @@ class Optimiser:
         mc = brick_ops.crop_size(r_u, para.pf)
         n_vox = mc**dims
 
-        dat, c, _ = self._plane_ring_data(ring, refined_defocus=True)
+        # the reference inserts the UNMASKED stack at -(tran - offset)
+        # (allocPreCal(false,...) src/Optimiser.cpp:6725)
+        dat, c, _ = self._plane_ring_data(ring, ori=True,
+                                          refined_defocus=True)
         n_draw = min(para.m_reco, para.m_l_r)
         w_img = (self.scores if para.par_gra
                  else np.ones_like(self.scores)) * self.plane_valid / n_draw
@@ -785,11 +805,11 @@ class Optimiser:
         keys = self._iter_keys(salt=3)
         tabs, offs = engine.insert_reduce(
             self.mesh, col, row, pmask, dat, c, state, keys,
-            jnp.asarray(w_img),
+            jnp.asarray(w_img), jnp.asarray(self.offsets),
             mode=para.mode, pf=para.pf, n=self.n, k_classes=para.k,
             mc=mc, n_draw=n_draw, chunk=self._chunk(),
         )
-        self.insert_offsets = np.asarray(offs)  # (2, K, 3) for recentring
+        self._update_insert_offsets(np.asarray(offs))
 
         fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
         ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
@@ -797,20 +817,21 @@ class Optimiser:
         radius = (fft_ops.radius_grid_2d if dims == 2
                   else fft_ops.radius_grid_3d)
 
-        new_refs, fscs, half_maps = [], [], []
+        def fold_sym(tab_flat, k):
+            tab_k = jnp.concatenate(
+                [tab_flat[k * n_vox:(k + 1) * n_vox],
+                 jnp.zeros((1, tab_flat.shape[-1]), tab_flat.dtype)], 0)
+            f_c, t_c = fold(tab_k)
+            if dims == 3 and self.sym.n_elements:
+                f_c, t_c = reconstructor.symmetrize_cropped(
+                    f_c, t_c, jnp.asarray(self.sym.rot.astype(np.float32)),
+                    r_u, pf=para.pf,
+                )
+            return f_c, t_c
+
+        new_refs, fscs, half_maps, joined = [], [], [], []
         for k in range(para.k):
-            maps = []
-            for h in (0, 1):
-                tab_k = jnp.concatenate(
-                    [tabs[h, k * n_vox:(k + 1) * n_vox],
-                     jnp.zeros((1, tabs.shape[-1]), tabs.dtype)], 0)
-                f_c, t_c = fold(tab_k)
-                if dims == 3 and self.sym.n_elements:
-                    f_c, t_c = reconstructor.symmetrize_cropped(
-                        f_c, t_c, jnp.asarray(self.sym.rot.astype(np.float32)),
-                        r_u, pf=para.pf,
-                    )
-                maps.append((f_c, t_c))
+            maps = [fold_sym(tabs[h], k) for h in (0, 1)]
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
@@ -825,16 +846,61 @@ class Optimiser:
             fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
             half_maps.append([np.asarray(v) for v in vols])
-            # hemisphere averaging below the band where FSC >= 0.95 thres
-            band = int(spectrum.res_p(fsc_new, 0.95, r_low=1))
-            u = jnp.rint(radius(self.n)).astype(jnp.int32)
-            avg = (ft_a + ft_b) / 2
-            ft_a2 = jnp.where(u <= band, avg, ft_a)
-            ft_b2 = jnp.where(u <= band, avg, ft_b)
-            new_refs.append(jnp.stack([ifftc(ft_a2).real, ifftc(ft_b2).real]))
+            if avg:
+                # hemisphere averaging below the band where FSC >= 0.95 thr
+                band = int(spectrum.res_p(fsc_new, 0.95, r_low=1))
+                u = jnp.rint(radius(self.n)).astype(jnp.int32)
+                mean_ft = (ft_a + ft_b) / 2
+                ft_a2 = jnp.where(u <= band, mean_ft, ft_a)
+                ft_b2 = jnp.where(u <= band, mean_ft, ft_b)
+                new_refs.append(jnp.stack([ifftc(ft_a2).real,
+                                           ifftc(ft_b2).real]))
+            else:
+                new_refs.append(jnp.stack(vols))
+            if final:
+                f_j, t_j = fold_sym(tabs[0] + tabs[1], k)
+                joined.append(np.asarray(reconstructor.reconstruct_cropped(
+                    f_j, t_j, jnp.asarray(fscs[-1]), self.n, pf=para.pf,
+                    max_radius=r_u, join_half=True, dims=dims,
+                )))
         self.fsc = np.stack(fscs)  # (K, shells)
         self.half_maps = half_maps
+        if final:
+            self.joined_maps = joined
         self.refs = jnp.stack(new_refs, axis=1)  # (2, K, [n,] n, n)
+
+    def _update_insert_offsets(self, offs):
+        """prepareO (src/Reconstructor.cpp:1106-1128): symmetrize the
+        per-class re-centring accumulator over the point group and divide
+        by the counter. offs: (2, K, 4) = [sum dir, count]."""
+        o = offs[..., :3].astype(np.float64)
+        cnt = offs[..., 3:4].astype(np.float64)
+        if self.para.mode == "3d" and self.sym.n_elements:
+            acc = o.copy()
+            for g in range(self.sym.n_elements):
+                acc = acc + o @ np.asarray(self.sym.rot[g], np.float64).T
+            o = acc
+            cnt = cnt * (1 + self.sym.n_elements)
+        self.insert_offsets = (o / np.maximum(cnt, 1.0)).astype(np.float32)
+
+    def _auto_recentre_refs(self):
+        """solventFlatten's refAutoRecentre branch
+        (src/Optimiser.cpp:7390-7425): when no provided mask is in use,
+        translate each reference by -O so the density centre returns to the
+        box centre."""
+        from ..ops.translate import translate_ft_3d
+
+        if self.para.mode != "3d" or getattr(self, "mask_vol", None) is not None:
+            return
+        o = self.insert_offsets  # (2, K, 3) in (x, y, z)
+        refs = self.refs
+        for h in (0, 1):
+            for k in range(self.para.k):
+                ft = fft_ops.fft3_center(refs[h, k])
+                ft = translate_ft_3d(ft, -float(o[h, k, 0]),
+                                     -float(o[h, k, 1]), -float(o[h, k, 2]))
+                refs = refs.at[h, k].set(fft_ops.ifft3_center(ft).real)
+        self.refs = refs
 
     # ------------------------------------------------------------------ run
 
@@ -881,8 +947,11 @@ class Optimiser:
             self.re_mask_img()
 
         # --- solvent flatten (:4005-4014): provided mask only after global
-        # search unless global_mask is set
+        # search unless global_mask is set; auto-recentre rides the
+        # no-provided-mask branch (:7390-7425)
         if not para.skip_r:
+            if para.ref_auto_recentre:
+                self._auto_recentre_refs()
             if search_type_in == SEARCH_TYPE_GLOBAL and not para.global_mask:
                 self.solvent_flatten(False)
             else:
@@ -914,7 +983,7 @@ class Optimiser:
         self.history.append(rec)
         return rec
 
-    def run(self, max_iter=None):
+    def run(self, max_iter=None, finalise=True):
         max_iter = max_iter or self.para.iter_max
         for _ in range(max_iter):
             rec = self.run_iteration()
@@ -922,7 +991,166 @@ class Optimiser:
                 self.save_outputs()
             if rec["search_type"] == SEARCH_TYPE_STOP:
                 break
+        if finalise:
+            self.finalise()
         return self.history
+
+    # ---------------------------------------------------------- final round
+
+    def finalise(self):
+        """The post-loop pipeline (src/Optimiser.cpp:4075-4363): setMaxRU
+        (reconstruction band -> Nyquist), final reconstruction WITHOUT
+        hemisphere averaging, joined Cref-weighted map, final outputs, and
+        optionally the masked-region signal subtraction."""
+        para = self.para
+        if para.skip_r or not hasattr(self, "par"):
+            return
+        self.reconstruct(r_u=self.max_r, avg=False, final=True)
+        if para.subtract and para.mode == "3d":
+            self._subtract_pipeline()
+        else:
+            self.solvent_flatten(para.perform_mask)
+        self.save_outputs(final=True)
+
+    def avg_hemi(self):
+        """Model::avgHemi (src/Model.cpp:1732): replace both hemisphere
+        references by their mean (the final subtraction passes project from
+        the full-data average)."""
+        mean = (self.refs[0] + self.refs[1]) / 2
+        self.refs = jnp.stack([mean, mean])
+
+    def _subtract_pipeline(self):
+        """Signal subtraction (src/Optimiser.cpp:4190-4363, saveSubtract
+        :8418): two passes of hemisphere-average + solvent flatten (pass 0:
+        spherical mask + norm correction + re-reconstruction at Nyquist;
+        pass 1: the provided region mask), then write the masked-region-
+        reference-subtracted particle stack + its .thu."""
+        para = self.para
+        self._rebuild_masked_stack()
+        if para.region_centre:
+            from ..io import read_mrc
+
+            rc_vol = np.asarray(read_mrc(para.region_centre), np.float64)
+            self.region_centre = _centroid(rc_vol)
+        else:
+            self.region_centre = np.zeros(3)
+        for pass_ in (0, 1):
+            self.avg_hemi()
+            self.solvent_flatten(pass_ == 1)
+            if pass_ == 0:
+                self.norm_correction()
+                self.reconstruct(r_u=self.max_r, avg=False, final=True)
+        self.save_subtract()
+
+    def save_subtract(self):
+        """Write Subtract_Rank_000000.mrcs: per image, for the identity and
+        every symmetry element, diff = imgOri - CTF * proj(masked ref at
+        sym-rotated rank-1 pose), translated by (-tran + offset -
+        rot^T regionCentre) so the target region is centred; the particle
+        translations move into the subtracted frame (saveSubtract,
+        src/Optimiser.cpp:8418-8530)."""
+        import os
+
+        para = self.para
+        n = self.n
+        out = para.output_directory or "./"
+        os.makedirs(out, exist_ok=True)
+        prefix = os.path.join(out, para.output_file_prefix)
+
+        from ..io import write_mrc
+        from ..ops.translate import translate_ft
+
+        # masked average reference (both halves identical after avg_hemi)
+        vol_fts = [projector.build_projectee_3d(self.refs[0, k], pf=para.pf)
+                   for k in range(para.k)]
+        sym_rots = ([np.eye(3, dtype=np.float32)]
+                    + [np.asarray(r, np.float32) for r in self.sym.rot])
+        g_all = len(sym_rots)
+        rc = self.region_centre.astype(np.float32)
+
+        f = jnp.arange(n) - n // 2
+        colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+        colf = colg.reshape(-1).astype(jnp.float32)
+        rowf = rowg.reshape(-1).astype(jnp.float32)
+        cp = self.ctf_params
+        c2d = ctf_ops.ctf_pixels(
+            colf, rowf, n, para.pixel_size,
+            cp["voltage"], cp["defocus_u"], cp["defocus_v"],
+            cp["defocus_theta"], cp["cs"], cp["amp_contrast"],
+            cp["phase_shift"],
+            defocus_factor=jnp.asarray(self.par["topD"]),
+        ).reshape(2, self.s_slots, n, n)
+
+        tran = self.par["topT"].copy()   # (2, S, 2)
+        off = self.offsets
+        t_rel = tran - off
+        cls = self.par["c"]
+        rot_b = np.asarray(quat.rotate3d(jnp.asarray(self.par["topR"])))
+
+        stacks = []
+        for gi, r_g in enumerate(sym_rots):
+            rot_c = np.einsum("ij,hsjk->hsik", r_g.T, rot_b)
+            pri = np.zeros((2, self.s_slots, n, n), np.complex64)
+            for k in range(para.k):
+                sel = np.asarray(cls) == k
+                if not sel.any():
+                    continue
+                pk = np.asarray(projector.project_pixels_3d(
+                    vol_fts[k], jnp.asarray(rot_c[sel]), colf, rowf,
+                    pf=para.pf,
+                )).reshape(-1, n, n)
+                pri[sel] = pk
+            tra = translate_ft(
+                jnp.asarray(pri),
+                jnp.asarray(t_rel[..., 0]), jnp.asarray(t_rel[..., 1]))
+            diff = self.imgs_ft_ori - c2d * tra
+            # recentre the remaining (subtracted) region
+            reg = np.einsum("hsij,j->hsi", np.transpose(rot_c, (0, 1, 3, 2)),
+                            rc)
+            diff = translate_ft(
+                diff,
+                jnp.asarray(-t_rel[..., 0] - reg[..., 0]),
+                jnp.asarray(-t_rel[..., 1] - reg[..., 1]))
+            stacks.append(self._from_plane(
+                np.asarray(fft_ops.ifft2_center(diff).real, np.float32)))
+        stack = np.concatenate(stacks, axis=0)  # ((1+G) * N, n, n)
+        name = f"{prefix}Subtract_Rank_000000.mrcs"
+        write_mrc(name, stack, voxel_size=para.pixel_size)
+
+        # particle translations move into the subtracted frame
+        self.par["t"] = self.par["t"] - t_rel[:, :, None, :]
+        self.par["topT"] = self.par["topT"] - t_rel
+        flat = {k: self._from_plane(v) for k, v in self.par.items()}
+        from ..io.thu import make_table, write_thu
+
+        q = self._thu_quats()
+        paths = [f"{i % self.n_imgs + 1}@Subtract_Rank_000000.mrcs"
+                 for i in range(self.n_imgs)]
+        table = make_table(
+            self.n_imgs,
+            particle_paths=paths,
+            micrograph_paths=getattr(
+                self, "micrograph_paths", ["none"] * self.n_imgs),
+            voltage=self._from_plane(self.ctf_params["voltage"]),
+            defocus_u=self._from_plane(self.ctf_params["defocus_u"]),
+            defocus_v=self._from_plane(self.ctf_params["defocus_v"]),
+            defocus_theta=self._from_plane(self.ctf_params["defocus_theta"]),
+            cs=self._from_plane(self.ctf_params["cs"]),
+            amplitude_contrast=self._from_plane(self.ctf_params["amp_contrast"]),
+            phase_shift=self._from_plane(self.ctf_params["phase_shift"]),
+            group_id=self.group_ids + 1,
+            class_id=flat["c"],
+            quat_0=q[:, 0], quat_1=q[:, 1], quat_2=q[:, 2], quat_3=q[:, 3],
+            k1=flat["k1"], k2=flat["k2"], k3=flat["k3"],
+            translation_x=flat["topT"][:, 0],
+            translation_y=flat["topT"][:, 1],
+            std_translation_x=flat["s0"],
+            std_translation_y=flat["s1"],
+            defocus_factor=flat["topD"],
+            std_defocus_factor=flat["sD"],
+            score=self._from_plane(self.scores),
+        )
+        write_thu(f"{prefix}Meta_Subtract.thu", table)
 
     # ---------------------------------------------------------------- output
 
@@ -962,10 +1190,15 @@ class Optimiser:
             else:
                 for k in range(para.k):
                     if final:
-                        write_mrc(
-                            f"{prefix}Reference_{k:03d}_Final.mrc",
-                            np.asarray((self.refs[0, k] + self.refs[1, k]) / 2),
-                            voxel_size=para.pixel_size)
+                        # Cref-weighted joined map when the final
+                        # reconstruction produced one (saveMapJoin)
+                        joined = getattr(self, "joined_maps", None)
+                        fin = (joined[k] if joined is not None
+                               else np.asarray(
+                                   (self.refs[0, k] + self.refs[1, k]) / 2))
+                        write_mrc(f"{prefix}Reference_{k:03d}_Final.mrc",
+                                  np.asarray(fin),
+                                  voxel_size=para.pixel_size)
                     for h, hn in ((0, "A"), (1, "B")):
                         write_mrc(
                             f"{prefix}Reference_{k:03d}_{hn}_{tag}.mrc",

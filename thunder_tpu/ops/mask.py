@@ -61,42 +61,132 @@ def apply_soft_mask(vol, alpha, bg=0.0):
     return bg * (1 - alpha) + vol * alpha
 
 
-def _ball_dilate(mask, radius):
-    """Binary dilation by a Euclidean ball via iterated 3x3(x3) max-pool
-    cross/box steps — approximates the reference's per-voxel ball scan
-    (Mask.cpp:588-650) closely for small radii and is O(r) on TPU."""
-    steps = int(-(-float(radius) // 1))
-    m = mask
-    ndim = m.ndim
-    for _ in range(max(steps, 0)):
-        for ax in range(ndim):
-            up = jnp.roll(m, 1, axis=ax)
-            dn = jnp.roll(m, -1, axis=ax)
-            m = jnp.maximum(m, jnp.maximum(up, dn))
-    return m
+# ------------------------------------------------- auto mask (genMask)
+# Mask generation is a rare host-side operation (once per run at most);
+# the reference's per-voxel neighbourhood scans map onto NumPy/SciPy exact
+# Euclidean distance transforms rather than device kernels.
+
+GEN_MASK_INIT_STEP = 0.2  # include/Functions/Mask.h:31
+GEN_MASK_GAP = 0.05       # include/Functions/Mask.h:33
 
 
-def gen_mask(vol, density_ratio, extend, ew):
-    """Auto mask (Mask.cpp:694-731): keep voxels above a density threshold
-    chosen so that `density_ratio` selects the threshold as
-    mean + ratio * std of the positive region? The reference thresholds at
-    a value determined from the sorted density (top fraction); here:
-    threshold = density_ratio quantile of the volume, then binary-extend by
-    ``extend`` voxels and add a cosine soft edge of width ``ew``.
-    """
-    thres = jnp.quantile(vol, 1.0 - density_ratio)
-    binary = (vol > thres).astype(jnp.float32)
-    binary = _ball_dilate(binary, extend)
-    # cosine soft edge: distance-to-mask approximated by blurring iterations
-    soft = binary
-    ew_i = int(max(1, round(ew)))
-    acc = binary
-    m = binary
-    for _ in range(ew_i):
-        for ax in range(binary.ndim):
-            m = jnp.maximum(m, jnp.maximum(jnp.roll(m, 1, ax), jnp.roll(m, -1, ax)))
-        acc = acc + m
-    soft = jnp.clip(acc / (ew_i + 1), 0.0, 1.0)
-    # smooth the staircase into a cosine profile
-    soft = 0.5 - 0.5 * jnp.cos(soft * jnp.pi)
-    return jnp.maximum(binary, soft)
+def remove_isolated_points(binary):
+    """Zero 1-voxels with no face-adjacent 1-neighbour
+    (removeIsolatedPoint, Mask.cpp:560-586). Out-of-bounds neighbours
+    count as 0, matching the reference's bounds checks."""
+    import numpy as np
+
+    b = np.asarray(binary) > 0.5
+    has = np.zeros_like(b)
+    for ax in range(b.ndim):
+        lo = [slice(None)] * b.ndim
+        hi = [slice(None)] * b.ndim
+        lo[ax] = slice(None, -1)
+        hi[ax] = slice(1, None)
+        has[tuple(lo)] |= b[tuple(hi)]
+        has[tuple(hi)] |= b[tuple(lo)]
+    return (b & has).astype(np.float32)
+
+
+def ext_mask(binary, ext):
+    """Extend (ext > 0) / shrink (ext < 0) a binary mask by a Euclidean
+    ball of radius |ext| (extMask, Mask.cpp:588-650; strict d < |ext|)."""
+    import numpy as np
+    from scipy.ndimage import distance_transform_edt
+
+    b = np.asarray(binary) > 0.5
+    if ext > 0:
+        d = distance_transform_edt(~b)
+        return (b | (d < ext)).astype(np.float32)
+    if ext < 0:
+        d = distance_transform_edt(b)
+        return (b & (d >= -ext)).astype(np.float32)
+    return b.astype(np.float32)
+
+
+def soft_edge(binary, ew):
+    """Cosine soft edge of width ew on a binary mask: value 0.5 +
+    0.5 cos(d / ew * pi) at Euclidean distance d < ew from the mask
+    (softEdge, Mask.cpp:652-692)."""
+    import numpy as np
+    from scipy.ndimage import distance_transform_edt
+
+    b = np.asarray(binary) > 0.5
+    d = distance_transform_edt(~b)
+    out = np.where(b, 1.0, np.where(
+        d < ew, 0.5 + 0.5 * np.cos(d / max(ew, 1e-6) * np.pi), 0.0))
+    return out.astype(np.float32)
+
+
+def auto_mask_threshold(vol, r):
+    """The reference's partial-sum density search (autoMask,
+    Mask.cpp:733-790): sort the positive in-sphere densities descending,
+    walk cumulative-mass bins of GEN_MASK_GAP starting past
+    GEN_MASK_INIT_STEP, and stop when a bin needs more than twice the
+    average number of voxels per previous bin — the knee of the density
+    histogram. Returns the threshold density."""
+    import numpy as np
+
+    v = np.asarray(vol)
+    u = np.asarray(_radius_rl(v.shape))
+    data = np.maximum(v[u < r], 0.0)
+    data = np.sort(data)[::-1].astype(np.float64)
+    n = data.size
+    partial = np.cumsum(data)
+    total = partial[-1]
+    if total <= 0:
+        return 0.0
+    start = int(np.searchsorted(partial, total * GEN_MASK_INIT_STEP))
+    step = GEN_MASK_INIT_STEP + GEN_MASK_GAP
+    n_prev_bin = 0
+    prev = 0
+    bin_ = 0
+    thres = 0.0
+    for i in range(start, n):
+        if partial[i] < total * step:
+            bin_ += 1
+        else:
+            if n_prev_bin != 0 and prev * 2 < bin_ * n_prev_bin:
+                break
+            step += GEN_MASK_GAP
+            n_prev_bin += 1
+            prev += bin_
+            bin_ = 0
+            thres = data[i]
+    return float(thres)
+
+
+def gen_mask(vol, thres, ext, ew):
+    """genMask (Mask.cpp:694-731): threshold -> remove isolated points ->
+    Euclidean-ball extend -> cosine soft edge. Returns float32 in [0, 1]."""
+    import numpy as np
+
+    binary = (np.asarray(vol) > thres).astype(np.float32)
+    binary = remove_isolated_points(binary)
+    binary = ext_mask(binary, ext)
+    return soft_edge(binary, ew)
+
+
+def auto_mask(vol, ext, ew, r):
+    """autoMask (Mask.cpp:793-811): partial-sum threshold search within
+    radius r, then genMask."""
+    return gen_mask(vol, auto_mask_threshold(vol, r), ext, ew)
+
+
+def shell_mask(shape, inner, outer, ew):
+    """Shell mask: 1 between inner and outer radius, cosine edges of width
+    ew on both sides (appsrc/thunder_genmask_shell.cpp:140-200). The
+    reference's literal profile cos((d - r)/ew) + 0.5 stays >= 1 across the
+    whole edge (it clamps to 1 then jumps to 0 — an upstream bug); the
+    intended smooth falloff 0.5 + 0.5 cos(pi (d - r)/ew) is used instead,
+    matching every other soft edge in the codebase (softMask profile,
+    Mask.cpp:470-487)."""
+    u = _radius_rl(shape)
+    fall_in = 0.5 + 0.5 * jnp.cos((inner - u) / ew * jnp.pi)
+    fall_out = 0.5 + 0.5 * jnp.cos((u - outer) / ew * jnp.pi)
+    val = jnp.where(
+        u < inner - ew, 0.0,
+        jnp.where(u < inner, fall_in,
+                  jnp.where(u < outer, 1.0,
+                            jnp.where(u < outer + ew, fall_out, 0.0))))
+    return jnp.clip(val, 0.0, 1.0).astype(jnp.float32)

@@ -45,3 +45,22 @@ def translate_ft(ft, tx, ty):
         )
     )
     return ft * _cis(-phase.astype(jnp.float32))
+
+
+def translate_ft_3d(ft, tx, ty, tz):
+    """Translate centered volume spectra (..., n, n, n) by (tx, ty, tz)
+    voxels (VOL_TRANSFORM equivalent used by reference auto-recentring,
+    src/Optimiser.cpp:7425)."""
+    from .fft import freq_grid_3d
+
+    n = ft.shape[-1]
+    h, k, l = freq_grid_3d(n)
+    phase = (
+        2 * jnp.pi / n
+        * (
+            h.astype(jnp.float32) * jnp.asarray(tx)[..., None, None, None]
+            + k.astype(jnp.float32) * jnp.asarray(ty)[..., None, None, None]
+            + l.astype(jnp.float32) * jnp.asarray(tz)[..., None, None, None]
+        )
+    )
+    return ft * _cis(-phase.astype(jnp.float32))

@@ -361,8 +361,8 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk"))
-def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
-                  *, mode, pf, n, k_classes, mc, n_draw, chunk):
+def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
+                  tra_off, *, mode, pf, n, k_classes, mc, n_draw, chunk):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -371,26 +371,29 @@ def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
     data axis — the hemisphere volume allreduce
     (src/Reconstructor.cpp:2350-2486, gpu/src/cuthunder.cu:3929-4033).
 
-    dat/ctf: (2, S, P); state: particle pytree (2, S, ...); keys (2, S, 2);
-    w_img: (2, S) insertion weight (score / n_draw, 0 for invalid slots).
-    Returns (tabs (2, K * mc^d + 1, width), offsets (2, K, 3)) where
-    offsets[..., :2] accumulate the drawn translations and [..., 2] the
-    weights (allReduceO, src/Reconstructor.cpp:2455-2520).
-    """
+    dat_ori: (2, S, P) UNMASKED image pixels — the reference inserts
+    _imgOri translated by -(tran - offset) (allocPreCal(false,...) at
+    src/Optimiser.cpp:6725, translate at :7161). ctf: (2, S, P);
+    state: particle pytree; keys (2, S, 2); w_img: (2, S) insertion weight
+    (score / n_draw, 0 for invalid slots); tra_off: (2, S, 2) accumulated
+    re-centring offsets.
+
+    Returns (tabs (2, K * mc^d + 1, width), offsets (2, K, 4)) where
+    offsets[..., :3] accumulate dir = -rot @ (tran - offset, 0) per draw
+    and [..., 3] counts draws (Reconstructor::insertDir + allReduceO,
+    src/Optimiser.cpp:7227-7233, src/Reconstructor.cpp:2455-2520)."""
     lh = 2 // mesh.shape[HALF_AXIS]
     n_vox = mc**2 if mode == "2d" else mc**3
     width = 12 if mode == "2d" else 24
 
-    def local(col_, row_, pmask_, dat, ctf, state, keys, w_img):
+    def local(col_, row_, pmask_, dat, ctf, state, keys, w_img, tra_off):
         tabs, offs = [], []
         for h in range(lh):
             st_h = jax.tree.map(lambda x: x[h], state)
-            s_loc = dat.shape[1]
 
             def chunk_step(carry, args):
                 tab, off = carry
-                d, c, ky, w, r_sup, t_sup, cls = args
-                b = d.shape[0]
+                d, c, ky, w, o_img, r_sup, t_sup, cls = args
                 k1 = jax.vmap(lambda k: jax.random.fold_in(k, 101))(ky)
                 k2 = jax.vmap(lambda k: jax.random.fold_in(k, 102))(ky)
                 ri = jax.vmap(
@@ -401,6 +404,7 @@ def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
                                                  t_sup.shape[1]))(k2)
                 q_d = jnp.take_along_axis(r_sup, ri[..., None], axis=1)
                 t_d = jnp.take_along_axis(t_sup, ti[..., None], axis=1)
+                t_rel = t_d - o_img[:, None, :]  # tran - offset
                 rots = _rot_mats(q_d, mode)  # (B, n_draw, d, d)
                 if mode == "2d":
                     coords = projector.slice_coords_2d(rots, col_, row_,
@@ -408,24 +412,34 @@ def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
                 else:
                     coords = projector.slice_coords_3d(rots, col_, row_,
                                                        pf=pf)
-                tra = translation_phase(col_, row_, -t_d[..., 0],
-                                        -t_d[..., 1], n)  # (B, n_draw, P)
+                tra = translation_phase(col_, row_, -t_rel[..., 0],
+                                        -t_rel[..., 1], n)  # (B, n_draw, P)
                 wv = (w[:, None, None] * pmask_).astype(real_dtype)
                 fv = d[:, None, :] * tra * c[:, None, :] * wv
                 tv = (c[:, None, :] ** 2) * wv
                 tab = _fused_class_insert(tab, coords, cls, fv, tv, mc, mode)
-                # translation-offset accumulation per class (allReduceO)
-                w_pt = jnp.broadcast_to(w[:, None], t_d.shape[:2])
-                o_add = jnp.stack(
-                    [t_d[..., 0] * w_pt, t_d[..., 1] * w_pt, w_pt], -1)
+                # per-class re-centring accumulator: dir = -rot (t-off, 0)
+                if mode == "2d":
+                    dirv = -jnp.einsum("bnij,bnj->bni", rots, t_rel)
+                    dirv = jnp.concatenate(
+                        [dirv, jnp.zeros_like(dirv[..., :1])], -1)
+                else:
+                    t3 = jnp.concatenate(
+                        [t_rel, jnp.zeros_like(t_rel[..., :1])], -1)
+                    dirv = -jnp.einsum("bnij,bnj->bni", rots, t3)
+                cnt = jnp.broadcast_to(w[:, None] > 0,
+                                       t_rel.shape[:2]).astype(real_dtype)
+                o_add = jnp.concatenate(
+                    [dirv * cnt[..., None], cnt[..., None]], -1)
                 off = off.at[cls].add(jnp.sum(o_add, axis=1))
                 return (tab, off), 0.0
 
             tab0 = jnp.zeros((k_classes * n_vox + 1, width), jnp.float32)
-            off0 = jnp.zeros((k_classes, 3), real_dtype)
+            off0 = jnp.zeros((k_classes, 4), real_dtype)
             (tab, off), _ = jax.lax.scan(chunk_step, (tab0, off0), (
                 _chunked(dat[h], chunk), _chunked(ctf[h], chunk),
                 _chunked(keys[h], chunk), _chunked(w_img[h], chunk),
+                _chunked(tra_off[h], chunk),
                 _chunked(st_h["r"], chunk), _chunked(st_h["t"], chunk),
                 _chunked(st_h["c"], chunk),
             ))
@@ -436,10 +450,10 @@ def insert_reduce(mesh, col, row, pmask, dat, ctf, state, keys, w_img,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) * 3 + (P(HALF_AXIS, DATA_AXIS),) * 5,
+        in_specs=(P(),) * 3 + (P(HALF_AXIS, DATA_AXIS),) * 6,
         out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
         check_vma=False,
-    )(col, row, pmask, dat, ctf, state, keys, w_img)
+    )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off)
 
 
 # -------------------------------------------------------- M-step statistics
