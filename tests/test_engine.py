@@ -103,6 +103,41 @@ def test_one_iteration_matches_across_meshes(pair):
     assert r1["search_type"] == r8["search_type"]
 
 
+def test_non_dividing_image_batch_consistent():
+    """Pad rows from _chunked must contribute NOTHING to accumulating
+    scans: with 10 images (5 slots/half on a 1-device mesh) and
+    image_batch=2, each half has one pad row; weights/validity are
+    zero-padded so sigma counts and the brick insert match a run whose
+    chunk divides exactly (ADVICE r2, high)."""
+    vol, imgs, cp = _dataset(seed=11)
+    imgs = imgs[:10]
+    cp = {k: v[:10] for k, v in cp.items()}
+
+    def build(batch):
+        para = Para(size=N, pixel_size=2.0, k=1, mask_radius=22.0, m_s=64,
+                    m_l_r=8, m_l_t=4, m_l_d=4, m_reco=4, trans_s=1.5,
+                    init_res=20.0, global_search_res=6.0, sym="C1",
+                    save_ref_each_iter=False, save_thu_each_iter=False,
+                    image_batch=batch, seed=3)
+        o = Optimiser(para, mesh=make_mesh(n_devices=1))
+        o.set_data(imgs, cp)
+        o.init_reference(vol)
+        o.init_sigma()
+        return o
+
+    oa, ob = build(2), build(5)  # 5 % 2 != 0 vs exact
+    sa, sb = oa._residual_stats(), ob._residual_stats()
+    assert sa[1].sum() == 10, sa[1]  # cnt counts only the valid images
+    np.testing.assert_allclose(sa[0], sb[0], rtol=1e-5)
+    np.testing.assert_allclose(sa[2], sb[2], rtol=1e-5)
+    np.testing.assert_allclose(sa[3], sb[3], rtol=1e-5)
+    oa.reconstruct()
+    ob.reconstruct()
+    np.testing.assert_allclose(
+        np.asarray(oa.refs), np.asarray(ob.refs), rtol=1e-4,
+        atol=1e-5 * float(np.abs(np.asarray(ob.refs)).max()))
+
+
 def test_second_iteration_still_consistent(pair):
     """The consistency must survive state round-trips (par scatter/gather,
     sigma update, reference averaging)."""

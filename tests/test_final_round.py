@@ -72,8 +72,20 @@ def test_subtract_removes_signal(trained):
     corr = np.mean([np.corrcoef(imgs[i].ravel(), stack[i].ravel())[0, 1]
                     for i in range(8)])
     assert abs(corr) < 0.3, corr
+    # Meta_Subtract holds (1+G) rows per image, image-major, each pointing
+    # at its symmetry-expanded slice (src/Optimiser.cpp:8296-8361)
     t = read_thu(str(out / "Meta_Subtract.thu"))
-    assert len(t) == B
+    assert len(t) == g * B
+    assert t.particle_paths[0].startswith("1@")
+    # image 0's rows reference slices {1, B+1, 2B+1, ...}
+    got = [int(t.particle_paths[gi].split("@")[0]) for gi in range(g)]
+    assert got == [gi * B + 1 for gi in range(g)]
+    # identity row's quaternion is the rank-1 pose (up to sign)
+    from thunder_tpu.io.thu import ThuColumns
+
+    q0 = t.values[0, ThuColumns.QUAT_0:ThuColumns.QUAT_3 + 1]
+    q_top = opt.best_quat[0]
+    assert min(np.abs(q0 - q_top).max(), np.abs(q0 + q_top).max()) < 1e-4
 
 
 def test_insert_offsets_track_translation_bias():

@@ -146,3 +146,18 @@ def test_outputs_written(classified):
     assert (out / f"Reference_Round_{len(history):03d}.mrcs").exists() or \
         (out / f"Reference_Round_{opt.iteration:03d}.mrcs").exists()
     assert (out / f"Meta_Round_{opt.iteration:03d}.thu").exists()
+
+def test_load_poses_2d_roundtrip(classified):
+    """Resuming a 2D run must decode the .thu half-angle quaternions
+    (cos(phi/2), 0, 0, sin(phi/2)) back into the engine's (cos phi,
+    sin phi) support convention (ADVICE r2, medium)."""
+    _, opt, _, _, _, _ = classified
+    _, imgs, _, _, cp = _make_dataset()
+    q = opt._thu_quats()
+    opt2 = Optimiser(opt.para)
+    opt2.set_data(imgs, cp)
+    opt2.load_poses(q, opt.best_trans, classes=opt.best_class)
+    dphi = opt2.best_phi - opt.best_phi
+    err = np.abs(np.angle(np.exp(1j * dphi)))
+    np.testing.assert_allclose(err, 0, atol=1e-4)
+    assert np.array_equal(opt2.best_class, opt.best_class)

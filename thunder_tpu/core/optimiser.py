@@ -312,6 +312,13 @@ class Optimiser:
         loadParticles) — support points cluster around the stored pose with
         the stored concentrations/stddevs."""
         q = self._to_plane(np.asarray(quats, np.float32))
+        if self.para.mode == "2d":
+            # .thu stores rotations about z as (cos(phi/2), 0, 0,
+            # sin(phi/2)) (_thu_quats); the 2D engine support convention is
+            # (cos phi, sin phi) in slots 0/1 — decode the full angle
+            phi = 2.0 * np.arctan2(q[..., 3], q[..., 0])
+            z = np.zeros_like(phi)
+            q = np.stack([np.cos(phi), np.sin(phi), z, z], axis=-1)
         t = self._to_plane(np.asarray(trans, np.float32))
         s = self.s_slots
         n_r = self.par["r"].shape[2]
@@ -622,7 +629,10 @@ class Optimiser:
         src/Optimiser.cpp:5103-5144): at init multiply the reference by the
         scale; afterwards divide the image stacks by their group scale and
         sigma by scale^2."""
-        scale = self.refresh_scale(group=group)
+        # at init the reference fits ONE global scale (correctScale(true,
+        # false, false), src/Optimiser.cpp:539) and multiplies every
+        # reference by it; per-group scale only applies to the stack path
+        scale = self.refresh_scale(group=group and not init)
         if init:
             s = float(scale[self.group_ids[0]])
             self.refs = self.refs * s
@@ -1087,9 +1097,13 @@ class Optimiser:
         cls = self.par["c"]
         rot_b = np.asarray(quat.rotate3d(jnp.asarray(self.par["topR"])))
 
-        stacks = []
+        stacks, q_rows = [], []
         for gi, r_g in enumerate(sym_rots):
             rot_c = np.einsum("ij,hsjk->hsik", r_g.T, rot_b)
+            # per-row pose for Meta_Subtract: the sym-rotated quaternion
+            # (saveDatabase(subtract=true), src/Optimiser.cpp:8296-8313)
+            q_rows.append(self._from_plane(np.asarray(
+                quat.quat_from_matrix(jnp.asarray(rot_c)))))
             pri = np.zeros((2, self.s_slots, n, n), np.complex64)
             for k in range(para.k):
                 sel = np.asarray(cls) == k
@@ -1123,32 +1137,41 @@ class Optimiser:
         flat = {k: self._from_plane(v) for k, v in self.par.items()}
         from ..io.thu import make_table, write_thu
 
-        q = self._thu_quats()
-        paths = [f"{i % self.n_imgs + 1}@Subtract_Rank_000000.mrcs"
-                 for i in range(self.n_imgs)]
+        # Meta_Subtract has (1 + G) rows per image, image-major, one per
+        # symmetry element, each pointing at its slice gi*N + l in the
+        # subtracted stack (saveDatabase(subtract=true),
+        # src/Optimiser.cpp:8296-8361: path index l + N*(i+1) + 1)
+        n_imgs = self.n_imgs
+        rep = lambda a: np.repeat(np.asarray(a), g_all, axis=0)
+        q_all = np.stack(q_rows, axis=1).reshape(n_imgs * g_all, 4)
+        paths = [f"{gi * n_imgs + l + 1}@Subtract_Rank_000000.mrcs"
+                 for l in range(n_imgs) for gi in range(g_all)]
+        micros = getattr(self, "micrograph_paths", ["none"] * n_imgs)
         table = make_table(
-            self.n_imgs,
+            n_imgs * g_all,
             particle_paths=paths,
-            micrograph_paths=getattr(
-                self, "micrograph_paths", ["none"] * self.n_imgs),
-            voltage=self._from_plane(self.ctf_params["voltage"]),
-            defocus_u=self._from_plane(self.ctf_params["defocus_u"]),
-            defocus_v=self._from_plane(self.ctf_params["defocus_v"]),
-            defocus_theta=self._from_plane(self.ctf_params["defocus_theta"]),
-            cs=self._from_plane(self.ctf_params["cs"]),
-            amplitude_contrast=self._from_plane(self.ctf_params["amp_contrast"]),
-            phase_shift=self._from_plane(self.ctf_params["phase_shift"]),
-            group_id=self.group_ids + 1,
-            class_id=flat["c"],
-            quat_0=q[:, 0], quat_1=q[:, 1], quat_2=q[:, 2], quat_3=q[:, 3],
-            k1=flat["k1"], k2=flat["k2"], k3=flat["k3"],
-            translation_x=flat["topT"][:, 0],
-            translation_y=flat["topT"][:, 1],
-            std_translation_x=flat["s0"],
-            std_translation_y=flat["s1"],
-            defocus_factor=flat["topD"],
-            std_defocus_factor=flat["sD"],
-            score=self._from_plane(self.scores),
+            micrograph_paths=[m for m in micros for _ in range(g_all)],
+            voltage=rep(self._from_plane(self.ctf_params["voltage"])),
+            defocus_u=rep(self._from_plane(self.ctf_params["defocus_u"])),
+            defocus_v=rep(self._from_plane(self.ctf_params["defocus_v"])),
+            defocus_theta=rep(
+                self._from_plane(self.ctf_params["defocus_theta"])),
+            cs=rep(self._from_plane(self.ctf_params["cs"])),
+            amplitude_contrast=rep(
+                self._from_plane(self.ctf_params["amp_contrast"])),
+            phase_shift=rep(self._from_plane(self.ctf_params["phase_shift"])),
+            group_id=rep(self.group_ids + 1),
+            class_id=rep(flat["c"]),
+            quat_0=q_all[:, 0], quat_1=q_all[:, 1],
+            quat_2=q_all[:, 2], quat_3=q_all[:, 3],
+            k1=rep(flat["k1"]), k2=rep(flat["k2"]), k3=rep(flat["k3"]),
+            translation_x=rep(flat["topT"][:, 0]),
+            translation_y=rep(flat["topT"][:, 1]),
+            std_translation_x=rep(flat["s0"]),
+            std_translation_y=rep(flat["s1"]),
+            defocus_factor=rep(flat["topD"]),
+            std_defocus_factor=rep(flat["sD"]),
+            score=rep(self._from_plane(self.scores)),
         )
         write_thu(f"{prefix}Meta_Subtract.thu", table)
 

@@ -81,15 +81,19 @@ def plane_keys(key, plane_index):
     return ks.reshape(idx.shape + (2,))
 
 
-def _chunked(x, chunk):
-    """(S, ...) -> (C, chunk, ...), padded by repeating row 0 (results for
-    pad rows are discarded by _unchunked)."""
+def _chunked(x, chunk, zero_pad=False):
+    """(S, ...) -> (C, chunk, ...). Pad rows repeat row 0 by default (their
+    RESULTS are discarded by _unchunked, and a valid copy keeps every lane
+    numerically safe inside while_loops). Weight/validity inputs feeding
+    ACCUMULATING scans must pass ``zero_pad=True`` so pad rows contribute
+    nothing to psum'd statistics or brick accumulators."""
     s = x.shape[0]
     c = -(-s // chunk)
     pad = c * chunk - s
     if pad:
-        x = jnp.concatenate(
-            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
+        fill = (jnp.zeros((pad,) + x.shape[1:], x.dtype) if zero_pad
+                else jnp.broadcast_to(x[:1], (pad,) + x.shape[1:]))
+        x = jnp.concatenate([x, fill], 0)
     return x.reshape((c, chunk) + x.shape[1:])
 
 
@@ -438,7 +442,8 @@ def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
             off0 = jnp.zeros((k_classes, 4), real_dtype)
             (tab, off), _ = jax.lax.scan(chunk_step, (tab0, off0), (
                 _chunked(dat[h], chunk), _chunked(ctf[h], chunk),
-                _chunked(keys[h], chunk), _chunked(w_img[h], chunk),
+                _chunked(keys[h], chunk),
+                _chunked(w_img[h], chunk, zero_pad=True),
                 _chunked(tra_off[h], chunk),
                 _chunked(st_h["r"], chunk), _chunked(st_h["t"], chunk),
                 _chunked(st_h["c"], chunk),
@@ -534,7 +539,8 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                 chunk_step, (sig, cnt, xa, aa), (
                     _chunked(dat[h], chunk), _chunked(dat_ori[h], chunk),
                     _chunked(ctf[h], chunk), _chunked(groups[h], chunk),
-                    _chunked(valid[h], chunk), _chunked(tra_off[h], chunk),
+                    _chunked(valid[h], chunk, zero_pad=True),
+                    _chunked(tra_off[h], chunk),
                     _chunked(st_h["topR"], chunk),
                     _chunked(st_h["topT"], chunk),
                     _chunked(st_h["c"], chunk),
