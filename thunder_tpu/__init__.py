@@ -16,7 +16,7 @@ Layer map (bottom-up), mirroring the reference's capability inventory
 - ``thunder_tpu.io``            — MRC / .thu / STAR / BMP
 - ``thunder_tpu.ops``           — CTF, FFT helpers, spectra/FSC, filters,
                                   masks, gridding kernels, translations,
-                                  likelihood (MXU-factored matmuls)
+                                  likelihood (fused Pallas/MXU + XLA fallback)
 - ``thunder_tpu.core``          — Projector, Reconstructor, Particle filter,
                                   Model, Optimiser, Postprocess
 - ``thunder_tpu.parallel``      — device mesh (half, data axes), collectives

@@ -84,6 +84,10 @@ class Para:
     n_halves: int = 2  # golden-standard hemisphere replicas (mesh "half" axis)
     seed: int = 0
     image_batch: int = 0  # 0 = all images in one device batch
+    # "auto": fused Pallas/MXU likelihood on TPU, XLA path elsewhere;
+    # "on"/"off" force; "interpret" runs the Pallas kernel interpreted
+    # (CPU testing)
+    fused_kernels: str = "auto"
 
     @property
     def mask_radius_px(self):
@@ -159,18 +163,53 @@ _JSON_KEYS = {
 }
 
 
-def load_para(path_or_dict):
+# mode-dependent sampling keys handled outside the flat table
+_MODE_KEYS = frozenset({
+    "Number of Sampling Points for Scanning in Global Search (2D)",
+    "Number of Sampling Points for Scanning in Global Search (3D)",
+    "Number of Sampling Points of Rotation in Local Search (2D)",
+    "Number of Sampling Points of Rotation in Local Search (3D)",
+})
+
+
+def check_keys(src, strict=False):
+    """Reject (strict) or warn about unrecognised parameter keys — the
+    reference aborts naming the exact missing/typo'd key
+    (appsrc/thunder.cpp:41-77); silently running with defaults hides
+    typos."""
+    unknown = []
+    for section, sec in src.items():
+        known = _JSON_KEYS.get(section)
+        if known is None:
+            unknown.append(f"section '{section}'")
+            continue
+        for key in sec:
+            if key not in known and key not in _MODE_KEYS:
+                unknown.append(f"{section}: '{key}'")
+    if unknown:
+        msg = "unrecognised parameter key(s): " + "; ".join(unknown)
+        if strict:
+            raise KeyError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    return unknown
+
+
+def load_para(path_or_dict, strict=False):
     """Parse a reference-schema JSON parameter file into a Para.
 
     Missing keys keep defaults (the reference aborts — we are permissive so
-    minimal configs work); mode-dependent keys (sampling points 2D/3D) are
-    resolved after the mode is known."""
+    minimal configs work); unrecognised keys warn, or raise with the exact
+    key name under ``strict`` (appsrc/thunder.cpp:41-77); mode-dependent
+    keys (sampling points 2D/3D) are resolved after the mode is known."""
     if isinstance(path_or_dict, dict):
         src = path_or_dict
     else:
         with open(path_or_dict) as f:
             src = json.load(f)
 
+    check_keys(src, strict=strict)
     para = Para()
     for section, keys in _JSON_KEYS.items():
         sec = src.get(section, {})

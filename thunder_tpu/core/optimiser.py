@@ -470,6 +470,14 @@ class Optimiser:
             jax.random.fold_in(self.key, self.iteration), salt)
         return engine.plane_keys(base, self.plane_index)
 
+    def _fused(self):
+        """Resolve the fused-kernel switch: 'auto' enables the Pallas path
+        on TPU backends only."""
+        f = self.para.fused_kernels
+        if f == "auto":
+            return "on" if jax.default_backend() not in ("cpu",) else "off"
+        return f
+
     def _sym_quats(self):
         if self.para.mode == "2d" or not self.sym.n_elements:
             return jnp.zeros((0, 4), real_dtype)
@@ -517,7 +525,7 @@ class Optimiser:
             self.mesh, bricks, rots, quats, tra, trans, col, row, pmask,
             dat, c, sig_rcp, keys,
             mode=para.mode, pf=para.pf, m_l_r=para.m_l_r, m_l_t=para.m_l_t,
-            m_l_d=para.m_l_d, chunk=self._chunk(),
+            m_l_d=para.m_l_d, chunk=self._chunk(), fused=self._fused(),
         )
         # state stays DEVICE-RESIDENT (sharded) across the iteration — no
         # host round-trip between scan, local search, insert and stats

@@ -131,6 +131,29 @@ def global_search_weights(dat, ctf, sig_rcp, proj, tra, prior_r=None, prior_t=No
     return {"wC": wc, "wR": wr, "wT": wt, "baseline": base}
 
 
+def global_search_weights_fused(dat, ctf, sig_rcp, proj, tra, prior_r=None,
+                                prior_t=None, pixel_mask=None,
+                                interpret=False):
+    """Pallas-fused variant of :func:`global_search_weights`: the whole
+    translation scan runs inside one MXU kernel per (image, pose) tile —
+    bf16 matmuls, f32 accumulation, VMEM-resident posterior accumulators
+    (ops/pallas_likelihood.py). Same inputs/outputs."""
+    from . import pallas_likelihood
+
+    b, p = dat.shape
+    k, r, _ = proj.shape
+    t = tra.shape[0]
+    if prior_r is None:
+        prior_r = jnp.full((b, r), 1.0 / r, dtype=real_dtype)
+    if prior_t is None:
+        prior_t = jnp.full((b, t), 1.0 / t, dtype=real_dtype)
+    pm = 1.0 if pixel_mask is None else pixel_mask
+    q = (-2.0 * sig_rcp * ctf * pm) * jnp.conj(dat)
+    e = sig_rcp * ctf**2 * pm
+    return pallas_likelihood.global_scan_fused(
+        q, e, proj, tra, prior_r, prior_t, k=k, interpret=interpret)
+
+
 def local_search_weights(dat, ctf, sig_rcp, proj, tra, w_r, w_t, w_d=None,
                          ctf_d=None, pixel_mask=None):
     """Per-image local-search posterior marginals — one particle-filter

@@ -163,10 +163,10 @@ def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode):
 # ------------------------------------------------------------- global scan
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "m_l_r", "m_l_t",
-                                   "m_l_d", "chunk"))
+                                   "m_l_d", "chunk", "fused"))
 def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
               dat, ctf, sig_rcp, keys, *, mode, pf, m_l_r, m_l_t, m_l_d,
-              chunk):
+              chunk, fused="off"):
     """Phase A: dense pose scan for every image against its hemisphere's
     class references, fused with the particle-filter seeding
     (src/Optimiser.cpp:633-1136). No collectives — per-image work only.
@@ -188,8 +188,13 @@ def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
 
             def chunk_fn(args, proj=proj):
                 d, c, s, ky = args
-                out = likelihood.global_search_weights(
-                    d, c, s, proj, tra, pixel_mask=pmask)
+                if fused == "off":
+                    out = likelihood.global_search_weights(
+                        d, c, s, proj, tra, pixel_mask=pmask)
+                else:
+                    out = likelihood.global_search_weights_fused(
+                        d, c, s, proj, tra, pixel_mask=pmask,
+                        interpret=(fused == "interpret"))
                 ky3 = jax.vmap(lambda k: jax.random.split(k, 3))(ky)
                 st = particle.init_from_scan(
                     ky3, out["wC"], out["wR"], out["wT"], quats, trans,
