@@ -39,10 +39,19 @@ def cmd_run(args):
     from ..core.optimiser import Optimiser
     from ..data import ParticleDataset
     from ..io import read_mrc
+    from ..utils import get_logger, init_logger
 
-    para = load_para(args.config)
+    para = load_para(args.config, strict=getattr(args, "strict", False))
     if args.output:
         para.output_directory = args.output
+    # initLogger (appsrc/thunder.cpp:436, src/Logging.cpp:6-27)
+    init_logger(para.output_directory)
+    get_logger("SYS").info("parameters loaded from %s", args.config)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     ds = ParticleDataset(para.db, para.par_prefix, seed=para.seed)
     opt = Optimiser(para)
     imgs = ds.load_images()
@@ -68,6 +77,10 @@ def cmd_run(args):
     opt.init_sigma()
     history = opt.run()
     opt.save_outputs(final=True)
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     for rec in history:
         print(json.dumps(
             rec, default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o)
@@ -358,6 +371,10 @@ def main(argv=None):
 
     s = sub.add_parser("run");             s.add_argument("config")
     s.add_argument("-o", "--output", default="")
+    s.add_argument("--strict", action="store_true",
+                   help="reject unrecognised config keys (reference parity)")
+    s.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     s.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("project")

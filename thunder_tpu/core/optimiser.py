@@ -43,6 +43,7 @@ from ..ops.mask import soft_mask_shape
 from ..ops.translate import translate_ft, translation_phase
 from ..parallel import engine
 from ..parallel.mesh import DATA_AXIS, HALF_AXIS, make_mesh
+from ..utils import check_memory_usage, get_logger
 from . import particle, projector, reconstructor, sampling
 
 # search types (include/Optimiser.h / Model.h)
@@ -174,6 +175,7 @@ class Optimiser:
         self.key = jax.random.PRNGKey(para.seed)
         self.iteration = 0
         self.history = []
+        self.log = get_logger("ROUND")
 
         n, ps = para.size, para.pixel_size
         a2p = lambda res_a: max(1, int(round(n * ps / res_a)))
@@ -567,6 +569,7 @@ class Optimiser:
             pixel_size=para.pixel_size, ctf_search=ctf_search,
             min_phase=min_phase, chunk=self._chunk(),
         )
+        self.phase_counts = np.asarray(st.pop("_nph"))  # (2, S)
         self.par = st  # device-resident
         self.scores = particle.compress_r(
             {k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()}
@@ -956,11 +959,35 @@ class Optimiser:
 
     def run_iteration(self):
         """One refinement round in the reference's order
-        (Optimiser::run src/Optimiser.cpp:3561-4075 + maximization :3405)."""
+        (Optimiser::run src/Optimiser.cpp:3561-4075 + maximization :3405).
+
+        Per-stage wall clock lands in ``history[i]['timing']`` (seconds) —
+        stage boundaries coincide with natural host syncs (tv floats /
+        np.asarray of stats and FSC), so the attribution is real device
+        time, not dispatch time."""
+        import time as _time
+
         para = self.para
+        timing = {}
+        t_last = _time.perf_counter()
+
+        def mark(name):
+            nonlocal t_last
+            now = _time.perf_counter()
+            timing[name] = timing.get(name, 0.0) + (now - t_last)
+            t_last = now
+
         search_type_in = self.ladder.search_type
         if not para.skip_e:
-            tv0, tv1 = self.expectation()
+            if self.ladder.search_type == SEARCH_TYPE_GLOBAL:
+                self.global_scan()
+                # scan output is async; the ring/brick build for phase B
+                # syncs nothing, so attribute scan+search jointly unless a
+                # sync point is forced here (cheap: one scalar)
+                float(jnp.sum(self.par["c"]))
+                mark("expectation_scan")
+            tv0, tv1 = self.local_search()
+            mark("expectation_search")
         else:
             tv0, tv1 = self.ladder.t_vari_s0, self.ladder.t_vari_s1
         self.ladder.record_t_vari(tv0, tv1)
@@ -975,8 +1002,10 @@ class Optimiser:
             if (search_type_in == SEARCH_TYPE_GLOBAL and para.group_scl
                     and self.iteration != 0):
                 self.correct_scale(init=False, group=True)
+            mark("maximization_stats")
         if not para.skip_r:
             self.reconstruct()
+            mark("reconstruction")
             if search_type_in == SEARCH_TYPE_GLOBAL:
                 self.balance_class()
 
@@ -1003,12 +1032,26 @@ class Optimiser:
                                para.thres_cutoff_fsc, r_low=1))
             for k in range(para.k)
         ) if hasattr(self, "fsc") else self.ladder.res
+        if hasattr(self, "fsc"):
+            self.refresh_snr()
+        r_before = self.ladder.r
         self.ladder.elevate(res)
+        if self.ladder.r != r_before:
+            self.log.info(
+                "Round %d: frequency ladder %d -> %d shells (res %d)",
+                self.iteration, r_before, self.ladder.r, res)
         st = self.ladder.transition(para.l_search, para.c_search)
+        if st != search_type_in:
+            names = {0: "GLOBAL", 1: "LOCAL", 2: "CTF", 3: "STOP"}
+            self.log.info("Round %d: search type %s -> %s", self.iteration,
+                          names[search_type_in], names[st])
         if (st == SEARCH_TYPE_CTF
                 and search_type_in != SEARCH_TYPE_CTF):
             self._seed_defocus_search()
         self.iteration += 1
+        mark("post")
+        nph = getattr(self, "phase_counts", None)
+        valid = self.plane_valid > 0
         rec = {
             "iter": self.iteration,
             "r": self.ladder.r,
@@ -1018,9 +1061,43 @@ class Optimiser:
             "t_vari": (tv0, tv1),
             "class_distr": getattr(self, "c_distr", None),
             "scale": self.scale.tolist() if self.n_groups > 1 else None,
+            "timing": timing,
+            "n_phase": (None if nph is None else
+                        (float(nph[valid].mean()), int(nph[valid].max()))),
         }
         self.history.append(rec)
+        self.log.info(
+            "Round %d done: r=%d res=%.2f A type=%d tVari=(%.3f, %.3f) "
+            "timing=%s", rec["iter"], rec["r"], rec["res_a"],
+            rec["search_type"], tv0, tv1,
+            {k: round(v, 3) for k, v in timing.items()})
+        check_memory_usage(f"round {rec['iter']}")
         return rec
+
+    def refresh_snr(self):
+        """Model::refreshSNR (src/Model.cpp:889-896): per-class
+        SNR = FSC / (1 - FSC); tau (Model::refreshTau's documented formula,
+        src/Model.cpp:897-921): per-class reference shell power / 2 on the
+        pf-padded frequency axis (the Tau dump's units,
+        src/Optimiser.cpp:9160-9170)."""
+        para = self.para
+        fsc = np.asarray(self.fsc, np.float64)
+        self.snr = fsc / np.maximum(1.0 - fsc, 1e-6)
+        dims = 2 if para.mode == "2d" else 3
+        fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
+        radius = (fft_ops.radius_grid_2d if dims == 2
+                  else fft_ops.radius_grid_3d)
+        n_sh = (self.n // 2) * para.pf
+        idx = jnp.minimum(jnp.rint(radius(self.n) * para.pf
+                                   ).astype(jnp.int32), n_sh)
+        taus = []
+        for k in range(para.k):
+            ft = fftc((self.refs[0, k] + self.refs[1, k]) / 2)
+            p2 = ft.real**2 + ft.imag**2
+            s = jnp.zeros(n_sh + 1, jnp.float32).at[idx].add(p2)
+            c = jnp.zeros(n_sh + 1, jnp.float32).at[idx].add(1.0)
+            taus.append(np.asarray(s / jnp.maximum(c, 1.0) / 2.0)[:n_sh])
+        self.tau = np.stack(taus)
 
     def run(self, max_iter=None, finalise=True):
         max_iter = max_iter or self.para.iter_max
@@ -1258,18 +1335,52 @@ class Optimiser:
                             voxel_size=para.pixel_size,
                         )
 
+        inv_res = lambda i, size: i / (size * para.pixel_size)
         if hasattr(self, "fsc"):
+            # saveFSC format (src/Optimiser.cpp:9018-9056): shell,
+            # reciprocal resolution (1/A), one FSC column per class
             with open(f"{prefix}FSC_{tag}.txt", "w") as f:
-                for i in range(self.fsc.shape[1]):
-                    row = " ".join(f"{self.fsc[k][i]:.6f}" for k in range(para.k))
-                    f.write(f"{i} {row}\n")
+                for i in range(1, min(self.ladder.r_u, self.fsc.shape[1])):
+                    cols = "".join(f"   {self.fsc[k][i]:10.6f}"
+                                   for k in range(para.k))
+                    f.write(f"{i:05d}   {inv_res(i, self.n):10.6f}{cols}\n")
+            # saveClassInfo format (:9058-9090): class, reciprocal
+            # resolution at the report threshold, class fraction
             with open(f"{prefix}Class_Info_{tag}.txt", "w") as f:
                 distr = self.refresh_class_distr()
                 for k in range(para.k):
                     res = int(spectrum.res_p(jnp.asarray(self.fsc[k]),
                                              para.thres_report_fsc, r_low=1))
-                    res_a = self.n * para.pixel_size / max(res, 1)
-                    f.write(f"{k} {distr[k]:.6f} {res_a:.6f}\n")
+                    f.write(f"{k:05d}   {inv_res(res, self.n):10.6f}"
+                            f"   {distr[k]:10.6f}\n")
+        if hasattr(self, "sig") and not final:
+            # saveSig (src/Optimiser.cpp:9091-9120): per-shell sigma of the
+            # lead image's group, one file per hemisphere
+            sig = np.asarray(self.sig)
+            g0 = [int(self.groups_plane[h, 0]) for h in (0, 1)]
+            for h, hn in ((0, "A"), (1, "B")):
+                with open(f"{prefix}Sig_{hn}_{tag}.txt", "w") as f:
+                    for i in range(self.max_r):
+                        f.write(f"{i:05d}   {inv_res(i, self.n):10.6f}"
+                                f"   {sig[g0[h], i]:10.6f}\n")
+        if getattr(self, "tau", None) is not None and not final:
+            # saveTau (src/Optimiser.cpp:9149-9180): padded-unit shells
+            for hn in ("A", "B"):
+                with open(f"{prefix}Tau_{hn}_{tag}.txt", "w") as f:
+                    for i in range(1, self.max_r * para.pf - 1):
+                        f.write(
+                            f"{i:05d}   {inv_res(i, self.n * para.pf):10.6f}"
+                            f"   {self.tau[0][i]:10.6f}\n")
+        if self.history and self.history[-1].get("timing") and not final:
+            # per-stage wall clock (the reference only has commented-out
+            # gettimeofday blocks, src/Optimiser.cpp:3640-3665)
+            rec = self.history[-1]
+            with open(f"{prefix}Timing_{tag}.txt", "w") as f:
+                for name, sec in rec["timing"].items():
+                    f.write(f"{name:24s} {sec:10.3f} s\n")
+                if rec.get("n_phase"):
+                    f.write(f"{'n_phase_mean':24s} {rec['n_phase'][0]:10.2f}\n")
+                    f.write(f"{'n_phase_max':24s} {rec['n_phase'][1]:10d}\n")
 
         if para.save_thu_each_iter or final:
             flat = {k: self._from_plane(v) for k, v in self.par.items()}

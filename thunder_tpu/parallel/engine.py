@@ -324,27 +324,32 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                 st0, d, c, s, ky, cpv = args
 
                 def cond(carry):
-                    phase, _, _, done = carry
+                    phase, _, _, done, _ = carry
                     return (phase < max_phase) & ~jnp.all(done)
 
                 def body(carry):
-                    phase, st, no_dec, done = carry
+                    phase, st, no_dec, done, nph = carry
                     st2, shrank = phase_fn(phase, st, d, c, s, cpv, ~done,
                                            ky, flat_tab, mc_)
                     chk = phase >= min_phase
                     no_dec = jnp.where(
                         chk & ~done, jnp.where(shrank, 0, no_dec + 1), no_dec)
-                    done = done | (chk & (
+                    new_done = done | (chk & (
                         no_dec >= particle.N_PHASE_WITH_NO_VARI_DECREASE))
-                    return phase + 1, st2, no_dec, done
+                    # per-image phase count at termination (observability:
+                    # the reference logs nPhase heartbeats,
+                    # src/Optimiser.cpp:1618-1627)
+                    nph = jnp.where(new_done & ~done, phase + 1, nph)
+                    return phase + 1, st2, no_dec, new_done, nph
 
                 b = d.shape[0]
-                _, st_f, _, _ = jax.lax.while_loop(
+                ph_f, st_f, _, _, nph = jax.lax.while_loop(
                     cond, body,
                     (jnp.zeros((), jnp.int32), st0,
-                     jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool)),
+                     jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+                     jnp.zeros((b,), jnp.int32)),
                 )
-                return st_f
+                return {**st_f, "_nph": jnp.where(nph == 0, ph_f, nph)}
 
             st = jax.lax.map(chunk_fn, (
                 jax.tree.map(lambda x: _chunked(x, chunk), st_h),
