@@ -1,0 +1,112 @@
+"""Multi-host execution: 2 processes x 4 virtual CPU devices running ONE
+global (2, 4) mesh must reproduce the single-process 8-device run — the
+property the reference gets from per-rank particle ranges + deterministic
+RNG (src/Database.cpp:621-645, src/Parallel.cpp:17-67). Each worker loads
+only its local shard's MRC slices (per-host data pipeline) and host 0
+alone writes outputs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from thunder_tpu.config import Para
+from thunder_tpu.core.optimiser import Optimiser
+from thunder_tpu.data import ParticleDataset
+from thunder_tpu.io import write_mrc
+from thunder_tpu.io.thu import make_table, write_thu
+from thunder_tpu.parallel.mesh import make_mesh
+
+from test_engine import _dataset, B, N
+
+pytestmark = pytest.mark.slow
+
+
+def _para():
+    return Para(size=N, pixel_size=2.0, k=1, mask_radius=22.0, m_s=128,
+                m_l_r=16, m_l_t=4, m_l_d=4, m_reco=4, trans_s=1.5,
+                init_res=20.0, global_search_res=6.0, sym="C1",
+                save_ref_each_iter=True, save_thu_each_iter=True,
+                image_batch=2, seed=3)
+
+
+def _write_dataset(workdir):
+    vol, imgs, cp = _dataset()
+    write_mrc(os.path.join(workdir, "stack.mrcs"), imgs, voxel_size=2.0)
+    write_mrc(os.path.join(workdir, "init.mrc"), vol, voxel_size=2.0)
+    table = make_table(
+        B,
+        particle_paths=[f"{i+1}@stack.mrcs" for i in range(B)],
+        micrograph_paths=["none"] * B,
+        voltage=cp["voltage"], defocus_u=cp["defocus_u"],
+        defocus_v=cp["defocus_v"], defocus_theta=cp["defocus_theta"],
+        cs=cp["cs"], amplitude_contrast=cp["amp_contrast"],
+        phase_shift=cp["phase_shift"],
+        group_id=np.ones(B, np.int32),
+    )
+    write_thu(os.path.join(workdir, "particles.thu"), table)
+    return vol
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    workdir = str(tmp_path)
+    vol = _write_dataset(workdir)
+    para = _para()
+    with open(os.path.join(workdir, "para.json"), "w") as f:
+        json.dump(dataclasses_asdict(para), f)
+
+    # ---- single-process reference run over the same dataset path ----
+    ds = ParticleDataset(os.path.join(workdir, "particles.thu"),
+                         particle_prefix=workdir, seed=para.seed)
+    para_sp = _para()
+    para_sp.output_directory = os.path.join(workdir, "out_sp")
+    opt = Optimiser(para_sp, mesh=make_mesh(n_devices=8))
+    opt.set_data_from_dataset(ds)
+    from thunder_tpu.io import read_mrc
+
+    opt.init_reference(read_mrc(os.path.join(workdir, "init.mrc")))
+    opt.init_sigma()
+    rec = opt.run_iteration()
+    opt.save_outputs()
+
+    # ---- 2-process x 4-device run ----
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    port = "12437"
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), workdir, port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-4000:]}"
+
+    # host 0 wrote the outputs; host 1 wrote nothing
+    out_mp = os.path.join(workdir, "out_mp")
+    assert os.path.exists(os.path.join(out_mp, "Meta_Round_001.thu"))
+    res = np.load(os.path.join(workdir, "mp_result.npz"))
+
+    # per-image results are keyed by global image index -> process-count
+    # independent (float-accumulation noise only)
+    np.testing.assert_allclose(res["top_r"], opt.best_quat, atol=2e-4)
+    np.testing.assert_allclose(res["top_t"], opt.best_trans, atol=2e-4)
+    np.testing.assert_allclose(res["fsc"], opt.fsc, atol=2e-3)
+    np.testing.assert_allclose(res["sig"], np.asarray(opt.sig), rtol=1e-3)
+    np.testing.assert_allclose(
+        res["refs"], np.asarray(opt.refs), rtol=1e-3,
+        atol=1e-4 * float(np.abs(np.asarray(opt.refs)).max()))
+    assert int(res["res_shell"]) == rec["res_shell"]
+
+
+def dataclasses_asdict(para):
+    import dataclasses
+
+    return dataclasses.asdict(para)

@@ -48,3 +48,29 @@ def test_symmetry_counterpart_moves_toward_anchor():
     out = symmetry_counterpart(q[None], sym.quat)
     # |w| = cos(angle/2) should now be large (angle <= 45 deg)
     assert abs(float(out[0, 0])) > np.cos(np.deg2rad(45.01) / 2)
+
+
+def test_symmetry_counterpart_batched_rank3():
+    """|G| > 1 with rank-3 batched quaternions (the phase-B perturb path
+    under C4) must broadcast; every result must be q or conj(g) q."""
+    import jax
+    import jax.numpy as jnp
+    from thunder_tpu.geom import quat as quat_ops
+    from thunder_tpu.geom.symmetry import Symmetry, symmetry_counterpart
+
+    sym = Symmetry("C4")
+    q = quat_ops.random_quat(jax.random.PRNGKey(0), 6 * 5).reshape(6, 5, 4)
+    out = symmetry_counterpart(q, jnp.asarray(sym.quat))
+    assert out.shape == (6, 5, 4)
+    # each output is one of the candidates
+    g = jnp.concatenate([jnp.asarray([[1.0, 0, 0, 0]]),
+                         jnp.asarray(sym.quat)], 0)
+    cand = quat_ops.quat_mul(
+        quat_ops.quat_conj(g)[:, None, None, :], q[None])
+    match = jnp.min(jnp.sum((cand - out[None]) ** 2, -1), axis=0)
+    assert float(jnp.max(match)) < 1e-10
+    # and scores at least as high as the raw quaternion's
+    anchor = jnp.asarray([1.0, 0, 0, 0])
+    s_out = jnp.abs(jnp.sum(out * anchor, -1))
+    s_in = jnp.abs(jnp.sum(q * anchor, -1))
+    assert float(jnp.min(s_out - s_in)) >= -1e-6

@@ -41,11 +41,18 @@ def cmd_run(args):
     from ..io import read_mrc
     from ..utils import get_logger, init_logger
 
+    # join the multi-process runtime when configured (the reference's
+    # MPI_Init, appsrc/thunder.cpp:370)
+    from ..parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+    import jax
+
     para = load_para(args.config, strict=getattr(args, "strict", False))
     if args.output:
         para.output_directory = args.output
     # initLogger (appsrc/thunder.cpp:436, src/Logging.cpp:6-27)
-    init_logger(para.output_directory)
+    init_logger(para.output_directory, process_index=jax.process_index())
     get_logger("SYS").info("parameters loaded from %s", args.config)
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
@@ -54,11 +61,8 @@ def cmd_run(args):
         jax.profiler.start_trace(profile_dir)
     ds = ParticleDataset(para.db, para.par_prefix, seed=para.seed)
     opt = Optimiser(para)
-    imgs = ds.load_images()
-    opt.set_data(imgs, ds.ctf_params(), group_ids=ds.group_ids,
-                 halves=ds.halves)
-    opt.particle_paths = ds.table.particle_paths
-    opt.micrograph_paths = ds.table.micrograph_paths
+    # per-host loading: each process reads only its own devices' slices
+    opt.set_data_from_dataset(ds)
     if not para.g_search:
         # resume from stored poses (Global Search: false workflow)
         from ..io.thu import ThuColumns

@@ -42,6 +42,7 @@ from ..ops import likelihood, pixels, spectrum
 from ..ops.mask import soft_mask_shape
 from ..ops.translate import translate_ft, translation_phase
 from ..parallel import engine
+from ..parallel.distributed import host_np, is_main, local_plane_rows
 from ..parallel.mesh import DATA_AXIS, HALF_AXIS, make_mesh
 from ..utils import check_memory_usage, get_logger
 from . import particle, projector, reconstructor, sampling
@@ -242,8 +243,9 @@ class Optimiser:
             self.imgs_ft = fft_ops.fft2_center(imgs_norm * alpha)
         else:
             self.imgs_ft = self.imgs_ft_ori
-        # per-image accumulated re-centring offsets (Optimiser::_offset)
-        self.offsets = np.zeros((2, s, 2), np.float32)
+        # per-image accumulated re-centring offsets (Optimiser::_offset) —
+        # device-resident, sharded like the rest of the per-image state
+        self.offsets = jnp.zeros((2, s, 2), real_dtype)
         # per-group intensity scale (Optimiser::_scale)
         self.scale = np.ones(self.n_groups, np.float32)
         # particle-filter state for ALL images, half-plane layout (the
@@ -256,10 +258,105 @@ class Optimiser:
         }
         self.scores = np.ones((2, s), np.float32)
 
+    def set_data_from_dataset(self, ds):
+        """Per-host data loading — the multi-process path (Database::split
+        + per-rank initImg, src/Database.cpp:621-645,
+        src/Optimiser.cpp:4608-4660): every process derives the SAME
+        half-plane layout from the dataset's seeded shuffle, then reads,
+        background-normalises and FFTs ONLY the stack slices stored on its
+        own devices; the global (2, S, n, n) spectra are assembled with
+        ``jax.make_array_from_callback`` so no host ever holds the full
+        stack."""
+        n = self.n
+        self.n_imgs = ds.n
+        self.halves = np.asarray(ds.halves, np.int32)
+        d_sz = self.mesh.shape[DATA_AXIS]
+        idx_h = [np.nonzero(self.halves == h)[0] for h in (0, 1)]
+        s = max(max(len(i) for i in idx_h), 1)
+        s = -(-s // d_sz) * d_sz
+        self.s_slots = s
+        self.plane_index = np.zeros((2, s), np.int64)
+        self.plane_valid = np.zeros((2, s), np.float32)
+        for h in (0, 1):
+            self.plane_index[h, : len(idx_h[h])] = idx_h[h]
+            self.plane_valid[h, : len(idx_h[h])] = 1.0
+
+        gid = np.asarray(ds.group_ids, np.int32)
+        self.group_ids = gid
+        self.n_groups = int(gid.max()) + 1
+        self.groups_plane = gid[self.plane_index]
+        cp = ds.ctf_params()
+        self.ctf_params = {
+            k: jnp.asarray(np.asarray(v, np.float32)[self.plane_index])
+            for k, v in cp.items()
+        }
+        if "phase_shift" not in self.ctf_params:
+            self.ctf_params["phase_shift"] = jnp.zeros((2, s), real_dtype)
+
+        # ---- local shard reads + preprocessing (numpy, no device) ----
+        sh = engine.plane_sharding(self.mesh)
+        rows = local_plane_rows(sh, (2, s))
+        ids = sorted({int(self.plane_index[h, sl]) for (h, sl) in rows
+                      if self.plane_valid[h, sl] > 0})
+        pos = {g: i for i, g in enumerate(ids)}
+        raw = (ds.load_images(np.asarray(ids)) if ids
+               else np.zeros((0, n, n), np.float32))
+        alpha = np.asarray(soft_mask_shape((n, n), self.para.mask_radius_px,
+                                           6.0), np.float32)
+        bg_w = 1.0 - alpha
+        denom = max(float(bg_w.sum()), 1.0)
+        mean = (raw * bg_w).sum(axis=(-2, -1), keepdims=True) / denom
+        var = (((raw - mean) ** 2) * bg_w).sum(axis=(-2, -1),
+                                               keepdims=True) / denom
+        norm = (raw - mean) / np.sqrt(np.maximum(var, 1e-12))
+
+        def _np_fft2c(x):
+            return np.fft.fftshift(np.fft.fftn(
+                np.fft.ifftshift(x, axes=(-2, -1)), axes=(-2, -1)),
+                axes=(-2, -1)).astype(np.complex64)
+
+        ft_ori = _np_fft2c(norm)
+        ft_msk = (_np_fft2c(norm * alpha) if self.para.zero_mask else ft_ori)
+
+        def _cb(buf):
+            def cb(index):
+                h_rng = range(*index[0].indices(2))
+                s_rng = range(*index[1].indices(s))
+                out = np.zeros((len(h_rng), len(s_rng), n, n), np.complex64)
+                for i, h in enumerate(h_rng):
+                    for j, sl in enumerate(s_rng):
+                        if self.plane_valid[h, sl] > 0:
+                            out[i, j] = buf[pos[int(self.plane_index[h, sl])]]
+                return out
+            return cb
+
+        self.imgs_ft_ori = jax.make_array_from_callback(
+            (2, s, n, n), sh, _cb(ft_ori))
+        self.imgs_ft = (jax.make_array_from_callback(
+            (2, s, n, n), sh, _cb(ft_msk)) if self.para.zero_mask
+            else self.imgs_ft_ori)
+        self.offsets = jnp.zeros((2, s, 2), real_dtype)
+        self.scale = np.ones(self.n_groups, np.float32)
+        self.par = {
+            k: np.asarray(v)[None].repeat(2, 0).reshape((2, s) + v.shape[1:])
+            for k, v in particle.make_state(
+                s, self.para.m_l_r, self.para.m_l_t, self.para.m_l_d
+            ).items()
+        }
+        self.scores = np.ones((2, s), np.float32)
+        self.particle_paths = ds.table.particle_paths
+        self.micrograph_paths = ds.table.micrograph_paths
+        get_logger("INIT").info(
+            "dataset: %d particles, %d groups, %d slots/half; this host "
+            "loaded %d local slices", self.n_imgs, self.n_groups, s,
+            len(ids))
+
     # flat-order views for interop (.thu output, tests); setters accept
-    # flat (N, ...) arrays
+    # flat (N, ...) arrays. _from_plane is a COLLECTIVE in multi-process
+    # runs (host_np allgathers non-addressable shards) — every process
+    # must reach it.
     def _from_plane(self, plane_arr):
-        a = np.asarray(plane_arr)
+        a = host_np(plane_arr)
         a = a.reshape((-1,) + a.shape[2:])
         sel = self.plane_valid.ravel() > 0
         out = np.zeros((self.n_imgs,) + a.shape[1:], a.dtype)
@@ -387,14 +484,18 @@ class Optimiser:
 
     def init_sigma(self):
         """Initial per-group noise spectra from average image power
-        (src/Optimiser.cpp:568, initSigma): sig = shell power / 2."""
+        (src/Optimiser.cpp:568, initSigma): sig = shell power / 2.
+        Grouped means via scatter-add so the (possibly sharded) stack
+        never has to visit the host."""
         n = self.n
-        ps = np.asarray(spectrum.power_spectrum(self.imgs_ft, n // 2, 2))
-        sig = np.zeros((self.n_groups, n // 2), np.float32)
-        w = self.plane_valid
-        for g in range(self.n_groups):
-            sel = (self.groups_plane == g) & (w > 0)
-            sig[g] = ps[sel].mean(axis=0) if sel.any() else 1.0
+        ps = spectrum.power_spectrum(self.imgs_ft, n // 2, 2)  # (2, S, sh)
+        w = jnp.asarray(self.plane_valid)
+        g = jnp.asarray(self.groups_plane)
+        sums = jnp.zeros((self.n_groups, n // 2), jnp.float32
+                         ).at[g].add(ps * w[..., None])
+        cnt = jnp.zeros(self.n_groups, jnp.float32).at[g].add(w)
+        sig = np.asarray(sums) / np.maximum(np.asarray(cnt)[:, None], 1.0)
+        sig = np.where(np.asarray(cnt)[:, None] > 0, sig, 1.0)
         self.sig = jnp.asarray(np.maximum(sig / 2, 1e-10))
 
     # ----------------------------------------------------------- device prep
@@ -569,7 +670,7 @@ class Optimiser:
             pixel_size=para.pixel_size, ctf_search=ctf_search,
             min_phase=min_phase, chunk=self._chunk(),
         )
-        self.phase_counts = np.asarray(st.pop("_nph"))  # (2, S)
+        self.phase_counts = st.pop("_nph")  # (2, S), device-resident
         self.par = st  # device-resident
         self.scores = particle.compress_r(
             {k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()}
@@ -604,9 +705,11 @@ class Optimiser:
         )
         shell_n = np.zeros(self.n // 2, np.float64)
         np.add.at(shell_n, np.asarray(ring.sig)[np.asarray(ring.mask) > 0], 1)
+        # sig/cnt/xa/aa are psum'd (replicated) -> numpy is safe on every
+        # process; the per-image norms stay sharded/device-resident
         return (np.asarray(sig_sums, np.float64), np.asarray(cnt, np.float64),
                 np.asarray(xa, np.float64), np.asarray(aa, np.float64),
-                np.asarray(norms, np.float64), shell_n)
+                norms, shell_n)
 
     def maximization_sigma(self, stats=None):
         """allReduceSigma, unmasked path (src/Optimiser.cpp:6397-6710,
@@ -684,11 +787,11 @@ class Optimiser:
             if hasattr(self, "fsc") else self.ladder.r,
         )
         hi = max(r_norm, self.r_low + 1)
-        norm = norms[..., self.r_low:hi].sum(axis=-1)  # (2, S)
-        valid = self.plane_valid > 0
-        m = np.median(norm[valid])
-        fac = np.sqrt(m / np.maximum(norm, 1e-30)).astype(np.float32)
-        fac_j = jnp.asarray(np.where(valid, fac, 1.0))[..., None, None]
+        norm = jnp.sum(jnp.asarray(norms)[..., self.r_low:hi], axis=-1)
+        valid = jnp.asarray(self.plane_valid) > 0
+        m = jnp.nanmedian(jnp.where(valid, norm, jnp.nan))
+        fac = jnp.sqrt(m / jnp.maximum(norm, 1e-30))
+        fac_j = jnp.where(valid, fac, 1.0)[..., None, None]
         self.imgs_ft = self.imgs_ft * fac_j
         self.imgs_ft_ori = self.imgs_ft_ori * fac_j
 
@@ -697,10 +800,9 @@ class Optimiser:
         image's rank-1 translation into its accumulated offset, re-derive the
         masked stack from the (never-moved) original stack, and shift the
         particle filter's translation support accordingly."""
-        tran = np.asarray(self.par["topT"])  # (2, S, 2)
-        self.offsets -= tran
-        self.par["t"] = jnp.asarray(self.par["t"]) - jnp.asarray(
-            tran)[:, :, None, :]
+        tran = jnp.asarray(self.par["topT"])  # (2, S, 2)
+        self.offsets = self.offsets - tran
+        self.par["t"] = jnp.asarray(self.par["t"]) - tran[:, :, None, :]
         self.par["topT"] = jnp.zeros((2, self.s_slots, 2), real_dtype)
         self._rebuild_masked_stack()
 
@@ -749,8 +851,10 @@ class Optimiser:
     def refresh_class_distr(self):
         """Class fractions (Optimiser::refreshClassDistr,
         src/Optimiser.cpp:5484-5517)."""
-        cls = np.asarray(self.par["c"])[self.plane_valid > 0]
-        counts = np.bincount(cls.ravel(), minlength=self.para.k)
+        c = jnp.asarray(self.par["c"])
+        w = jnp.asarray(self.plane_valid)
+        counts = np.asarray(  # replicated scatter-add -> numpy safe
+            jnp.zeros(self.para.k, jnp.float32).at[c].add(w))
         self.c_distr = counts / max(counts.sum(), 1)
         return self.c_distr
 
@@ -851,7 +955,11 @@ class Optimiser:
             mode=para.mode, pf=para.pf, n=self.n, k_classes=para.k,
             mc=mc, n_draw=n_draw, chunk=self._chunk(),
         )
-        self._update_insert_offsets(np.asarray(offs))
+        # the accumulators come back sharded over the half axis; bring them
+        # to every device for the per-class fold + hemisphere FSC (small
+        # relative to HBM except at the final Nyquist band)
+        tabs = jax.device_put(tabs, engine.replicated(self.mesh))
+        self._update_insert_offsets(host_np(offs))
 
         fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
         ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
@@ -1051,7 +1159,12 @@ class Optimiser:
         self.iteration += 1
         mark("post")
         nph = getattr(self, "phase_counts", None)
-        valid = self.plane_valid > 0
+        if nph is not None:
+            w = jnp.asarray(self.plane_valid)
+            nph_stats = (
+                float(jnp.sum(nph * w) / jnp.maximum(jnp.sum(w), 1.0)),
+                int(jnp.max(jnp.where(w > 0, nph, 0))),
+            )
         rec = {
             "iter": self.iteration,
             "r": self.ladder.r,
@@ -1062,8 +1175,7 @@ class Optimiser:
             "class_distr": getattr(self, "c_distr", None),
             "scale": self.scale.tolist() if self.n_groups > 1 else None,
             "timing": timing,
-            "n_phase": (None if nph is None else
-                        (float(nph[valid].mean()), int(nph[valid].max()))),
+            "n_phase": None if nph is None else nph_stats,
         }
         self.history.append(rec)
         self.log.info(
@@ -1142,6 +1254,10 @@ class Optimiser:
         pass 1: the provided region mask), then write the masked-region-
         reference-subtracted particle stack + its .thu."""
         para = self.para
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "signal subtraction is single-process for now; the "
+                "per-host Subtract_Rank_{i} writer is not yet wired")
         self._rebuild_masked_stack()
         if para.region_centre:
             from ..io import read_mrc
@@ -1298,17 +1414,31 @@ class Optimiser:
         """Per-round writers with the reference's exact file naming
         (src/Optimiser.cpp:8250-9149): Reference_{k}_{A,B}_Round_{i}.mrc,
         FSC_Round_{i}.txt, Class_Info_Round_{i}.txt, Meta_Round_{i}.thu;
-        2D mode writes the class-average stack Reference_Round_{i}.mrcs."""
+        2D mode writes the class-average stack Reference_Round_{i}.mrcs.
+
+        Multi-process: every process participates in the gathers below
+        (collectives), then ONLY process 0 touches the filesystem — the
+        master rank's surviving duty (src/Optimiser.cpp:8250 master
+        gather + write)."""
         import os
 
         para = self.para
         out = para.output_directory or "./"
-        os.makedirs(out, exist_ok=True)
         prefix = os.path.join(out, para.output_file_prefix)
         tag = "Final" if final else f"Round_{self.iteration:03d}"
 
         from ..io import write_mrc
         from ..io.thu import make_table, write_thu
+
+        # ---- collective phase: gather sharded state to every host ----
+        table = None
+        if para.save_thu_each_iter or final:
+            table = self._build_thu_table()
+        distr = (self.refresh_class_distr() if hasattr(self, "fsc")
+                 else None)
+        if not is_main():
+            return
+        os.makedirs(out, exist_ok=True)
 
         if para.save_ref_each_iter or final:
             if para.mode == "2d":
@@ -1347,7 +1477,6 @@ class Optimiser:
             # saveClassInfo format (:9058-9090): class, reciprocal
             # resolution at the report threshold, class fraction
             with open(f"{prefix}Class_Info_{tag}.txt", "w") as f:
-                distr = self.refresh_class_distr()
                 for k in range(para.k):
                     res = int(spectrum.res_p(jnp.asarray(self.fsc[k]),
                                              para.thres_report_fsc, r_low=1))
@@ -1382,35 +1511,41 @@ class Optimiser:
                     f.write(f"{'n_phase_mean':24s} {rec['n_phase'][0]:10.2f}\n")
                     f.write(f"{'n_phase_max':24s} {rec['n_phase'][1]:10d}\n")
 
-        if para.save_thu_each_iter or final:
-            flat = {k: self._from_plane(v) for k, v in self.par.items()}
-            q = self._thu_quats()
-            table = make_table(
-                self.n_imgs,
-                particle_paths=getattr(
-                    self, "particle_paths",
-                    [f"{i+1}@unknown.mrcs" for i in range(self.n_imgs)]),
-                micrograph_paths=getattr(
-                    self, "micrograph_paths", ["none"] * self.n_imgs),
-                voltage=self._from_plane(self.ctf_params["voltage"]),
-                defocus_u=self._from_plane(self.ctf_params["defocus_u"]),
-                defocus_v=self._from_plane(self.ctf_params["defocus_v"]),
-                defocus_theta=self._from_plane(self.ctf_params["defocus_theta"]),
-                cs=self._from_plane(self.ctf_params["cs"]),
-                amplitude_contrast=self._from_plane(self.ctf_params["amp_contrast"]),
-                phase_shift=self._from_plane(self.ctf_params["phase_shift"]),
-                group_id=self.group_ids + 1,
-                class_id=flat["c"],
-                quat_0=q[:, 0], quat_1=q[:, 1],
-                quat_2=q[:, 2], quat_3=q[:, 3],
-                k1=flat["k1"], k2=flat["k2"], k3=flat["k3"],
-                translation_x=flat["topT"][:, 0],
-                translation_y=flat["topT"][:, 1],
-                std_translation_x=flat["s0"],
-                std_translation_y=flat["s1"],
-                defocus_factor=flat["topD"],
-                std_defocus_factor=flat["sD"],
-                score=self._from_plane(self.scores),
-            )
+        if table is not None:
             name = "Meta_Final.thu" if final else f"Meta_{tag}.thu"
             write_thu(f"{prefix}{name}", table)
+
+    def _build_thu_table(self):
+        """Gather the (sharded) per-image state and assemble the 27-column
+        table. Collective: every process must call this."""
+        from ..io.thu import make_table
+
+        flat = {k: self._from_plane(v) for k, v in self.par.items()}
+        q = self._thu_quats()
+        return make_table(
+            self.n_imgs,
+            particle_paths=getattr(
+                self, "particle_paths",
+                [f"{i+1}@unknown.mrcs" for i in range(self.n_imgs)]),
+            micrograph_paths=getattr(
+                self, "micrograph_paths", ["none"] * self.n_imgs),
+            voltage=self._from_plane(self.ctf_params["voltage"]),
+            defocus_u=self._from_plane(self.ctf_params["defocus_u"]),
+            defocus_v=self._from_plane(self.ctf_params["defocus_v"]),
+            defocus_theta=self._from_plane(self.ctf_params["defocus_theta"]),
+            cs=self._from_plane(self.ctf_params["cs"]),
+            amplitude_contrast=self._from_plane(self.ctf_params["amp_contrast"]),
+            phase_shift=self._from_plane(self.ctf_params["phase_shift"]),
+            group_id=self.group_ids + 1,
+            class_id=flat["c"],
+            quat_0=q[:, 0], quat_1=q[:, 1],
+            quat_2=q[:, 2], quat_3=q[:, 3],
+            k1=flat["k1"], k2=flat["k2"], k3=flat["k3"],
+            translation_x=flat["topT"][:, 0],
+            translation_y=flat["topT"][:, 1],
+            std_translation_x=flat["s0"],
+            std_translation_y=flat["s1"],
+            defocus_factor=flat["topD"],
+            std_defocus_factor=flat["sD"],
+            score=self._from_plane(self.scores),
+        )

@@ -166,8 +166,12 @@ def symmetry_counterpart(q, sym_quats, anchor=None):
     sym_quats = jnp.asarray(sym_quats, dtype=q.dtype)
     if sym_quats.shape[0] == 0:
         return q
-    # candidates: original + conj(g) q for each g
-    cand = quat_mul(quat_conj(sym_quats)[:, None, :], q[None, ...])  # (M, ..., 4)
+    # candidates: original + conj(g) q for each g; reshape the group to
+    # (M, 1...1, 4) so batched q of ANY rank broadcasts (leading-axis
+    # alignment — trailing alignment breaks for |G| > 1 with rank-3 q)
+    g = quat_conj(sym_quats).reshape(
+        (sym_quats.shape[0],) + (1,) * (q.ndim - 1) + (4,))
+    cand = quat_mul(g, q[None, ...])  # (M, ..., 4)
     cand = jnp.concatenate([q[None, ...], cand], axis=0)  # (M+1, ..., 4)
     score = jnp.abs(jnp.sum(cand * anchor, axis=-1))  # (M+1, ...)
     best = jnp.argmax(score, axis=0)  # (...)
