@@ -93,3 +93,33 @@ def test_star_interop(workdir):
     np.testing.assert_allclose(
         back.col(ThuColumns.CS), orig.col(ThuColumns.CS), rtol=1e-5
     )
+
+
+def test_select_gallery_and_keep(tmp_path):
+    """thunder_stackview replacement: gallery from a class-average stack +
+    class-filtered .thu (gui/thunder_stackview/, README.md:37-47)."""
+    k, n, b = 4, 16, 40
+    rng = np.random.default_rng(3)
+    stack = rng.normal(size=(k, n, n)).astype(np.float32)
+    write_mrc(str(tmp_path / "classes.mrcs"), stack, voxel_size=2.0)
+    cls = np.asarray([i % k for i in range(b)])
+    t = make_table(b,
+                   particle_paths=[f"{i+1}@s.mrcs" for i in range(b)],
+                   class_id=cls)
+    write_thu(str(tmp_path / "meta.thu"), t)
+    out_html = str(tmp_path / "gallery.html")
+    cli(["select", str(tmp_path / "classes.mrcs"), out_html,
+         "--thu", str(tmp_path / "meta.thu"), "--keep", "0,2-3",
+         "--keep-output", str(tmp_path / "kept.thu")])
+    html = open(out_html).read()
+    assert html.count("data:image/bmp;base64,") == k
+    assert "class 3" in html
+    kept = read_thu(str(tmp_path / "kept.thu"))
+    from thunder_tpu.io.thu import ThuColumns
+
+    kc = kept.col(ThuColumns.CLASS_ID).astype(int)
+    assert len(kept) == int(np.isin(cls, [0, 2, 3]).sum())
+    assert set(kc) == {0, 2, 3}
+    # kept rows preserve their original particle paths
+    orig = [p for p, c in zip(t.particle_paths, cls) if c in (0, 2, 3)]
+    assert kept.particle_paths == orig

@@ -161,3 +161,41 @@ def test_load_poses_2d_roundtrip(classified):
     err = np.abs(np.angle(np.exp(1j * dphi)))
     np.testing.assert_allclose(err, 0, atol=1e-4)
     assert np.array_equal(opt2.best_class, opt.best_class)
+
+def test_balance_class_resigns_with_divergence_force():
+    """A collapsed class is resigned from a populated one with phases
+    randomised past the current band (low band preserved), and a
+    collapsed 2-class run recovers a non-degenerate distribution
+    (balanceClass, src/Optimiser.cpp:5519-5593 + divergence force)."""
+    import numpy as np
+    from thunder_tpu.ops import fft as fft_ops, spectrum
+
+    _, imgs, _, _, cp = _make_dataset(seed=9)
+    para = Para(mode="2d", k=2, size=N, pixel_size=2.0, mask_radius=26.0,
+                m_s=128, m_l_r=8, m_l_t=4, m_l_d=4, m_reco=8, trans_s=1.5,
+                init_res=8.0, global_search_res=4.2, sym="C1", seed=5,
+                save_ref_each_iter=False, save_thu_each_iter=False)
+    opt = Optimiser(para)
+    opt.set_data(imgs, cp)
+    opt.init_reference()
+    opt.init_sigma()
+    opt.ladder.r = 6
+    # make the two class references distinct, then collapse assignments
+    opt.refs = opt.refs.at[:, 1].set(jnp.roll(opt.refs[:, 1], 5, axis=-1))
+    old1 = np.asarray(opt.refs[:, 1]).copy()
+    opt.par["c"][:] = 0
+    opt.balance_class()
+    new1 = np.asarray(opt.refs[:, 1])
+    src = np.asarray(opt.refs[:, 0])
+    assert not np.allclose(new1, old1)  # resigned
+    assert not np.allclose(new1, src)   # NOT an exact copy
+    fsc = np.asarray(spectrum.frc_fsc(
+        fft_ops.fft2_center(jnp.asarray(new1[0])),
+        fft_ops.fft2_center(jnp.asarray(src[0])), N // 2, 2))
+    assert np.all(fsc[1:5] > 0.98), fsc[:6]       # low band preserved
+    assert fsc[8:14].mean() < 0.9, fsc[8:14]       # high band randomised
+    # the collapsed run now recovers a two-sided distribution
+    for _ in range(3):
+        opt.run_iteration()
+    distr = opt.refresh_class_distr()
+    assert distr.min() > 0.1, distr

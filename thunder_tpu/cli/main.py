@@ -352,6 +352,96 @@ def cmd_view(args):
             print(f"wrote {path}")
 
 
+def _parse_keep(spec):
+    """'0,2,5-8' -> {0, 2, 5, 6, 7, 8}."""
+    keep = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            lo, hi = part.split("-")
+            keep.update(range(int(lo), int(hi) + 1))
+        else:
+            keep.add(int(part))
+    return keep
+
+
+def cmd_select(args):
+    """Class-average inspection + selection — the thunder_stackview GUI's
+    workflow (gui/thunder_stackview/, README.md:37-47): view the 2D class
+    averages of Reference_Round_XXX.mrcs, pick classes, write the
+    filtered .thu. Here: an HTML gallery with embedded images + per-class
+    stats, and --keep to write the subset table."""
+    import base64
+    import os
+
+    from ..io import read_mrc
+    from ..io.bmp import write_bmp
+    from ..io.thu import ThuColumns, read_thu, write_thu
+
+    stack = read_mrc(args.stack)
+    if stack.ndim == 2:
+        stack = stack[None]
+    k = stack.shape[0]
+    table = read_thu(args.thu) if args.thu else None
+    counts = np.zeros(k, np.int64)
+    if table is not None:
+        cls = table.col(ThuColumns.CLASS_ID).astype(np.int64)
+        counts = np.bincount(np.clip(cls, 0, k - 1), minlength=k)
+    frac = counts / max(counts.sum(), 1)
+
+    rows = []
+    for t in range(k):
+        img = stack[t]
+        lo, hi = np.percentile(img, [1, 99])
+        norm = np.clip((img - lo) / max(hi - lo, 1e-12), 0, 1)
+        # write via the BMP writer to a temp path, then inline base64
+        tmp_path = f"{args.output}.cls{t:03d}.bmp"
+        write_bmp(tmp_path, norm)
+        with open(tmp_path, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+        os.remove(tmp_path)
+        rows.append((t, frac[t], int(counts[t]), b64))
+
+    if args.sort:
+        rows.sort(key=lambda r: -r[1])
+    with open(args.output, "w") as f:
+        f.write("<html><body><h2>Class averages: "
+                f"{os.path.basename(args.stack)}</h2>\n"
+                "<div style='display:flex;flex-wrap:wrap'>\n")
+        for t, fr, cnt, b64 in rows:
+            f.write(
+                "<div style='margin:4px;text-align:center;font-family:"
+                "monospace'>"
+                f"<img src='data:image/bmp;base64,{b64}' width='128'><br>"
+                f"class {t}<br>{fr*100:.1f}% ({cnt})</div>\n")
+        f.write("</div></body></html>\n")
+    print(f"wrote gallery with {k} classes to {args.output}")
+
+    if args.keep:
+        if table is None:
+            raise SystemExit("--keep requires --thu")
+        keep = _parse_keep(args.keep)
+        sel = np.isin(cls, sorted(keep))
+        out_thu = args.keep_output or (
+            os.path.splitext(args.thu)[0] + "_selected.thu")
+        write_thu(out_thu, _subset_thu(table, sel))
+        print(f"kept {int(sel.sum())}/{len(sel)} particles "
+              f"(classes {sorted(keep)}) -> {out_thu}")
+
+
+def _subset_thu(table, sel):
+    from ..io.thu import ThuTable
+
+    idx = np.nonzero(sel)[0]
+    return ThuTable(
+        values=table.values[idx],
+        particle_paths=[table.particle_paths[i] for i in idx],
+        micrograph_paths=[table.micrograph_paths[i] for i in idx],
+    )
+
+
 def cmd_star2thu(args):
     from ..io.star import star_to_thu
 
@@ -463,6 +553,20 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("--slices", default="", help="prefix for BMP slice dumps")
     s.set_defaults(fn=cmd_view)
+
+    s = sub.add_parser("select",
+                       help="class-average gallery + .thu class selection "
+                       "(thunder_stackview replacement)")
+    s.add_argument("stack", help="class-average stack (.mrcs)")
+    s.add_argument("output", help="HTML gallery output path")
+    s.add_argument("--thu", default="", help=".thu with class assignments")
+    s.add_argument("--keep", default="",
+                   help="classes to keep, e.g. '0,2,5-8'; writes the "
+                   "filtered .thu")
+    s.add_argument("--keep-output", default="")
+    s.add_argument("--sort", action="store_true",
+                   help="order gallery by class population")
+    s.set_defaults(fn=cmd_select)
 
     s = sub.add_parser("star2thu")
     s.add_argument("input"); s.add_argument("output")

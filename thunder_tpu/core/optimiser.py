@@ -863,20 +863,39 @@ class Optimiser:
         (determineBalanceClass/balanceClass, src/Optimiser.cpp:5519-5593,
         CLASS_BALANCE_FACTOR include/Optimiser.h:71): a class holding fewer
         than thres/K of the images gets its reference resigned from a class
-        drawn proportionally to the excess distribution."""
+        drawn proportionally to the excess distribution.
+
+        Divergence force beyond the reference's exact copy: the resigned
+        reference's phases are randomised past the current frequency band,
+        so the new class presents a genuinely different high-band
+        hypothesis and the two classes can separate again (the exact copy
+        leaves them with identical likelihoods; only the stochastic class
+        draw then separates them, which is slow)."""
         if self.para.k == 1:
             return
+        para = self.para
         distr = self.refresh_class_distr()
-        rng = np.random.default_rng(self.para.seed + self.iteration)
-        excess = np.where(distr < thres / self.para.k, 0.0,
-                          distr - thres / self.para.k)
+        rng = np.random.default_rng(para.seed + self.iteration)
+        excess = np.where(distr < thres / para.k, 0.0,
+                          distr - thres / para.k)
         if excess.sum() <= 0:
             return
         p_src = excess / excess.sum()
-        for t in range(self.para.k):
-            if distr[t] < thres / self.para.k:
-                j = int(rng.choice(self.para.k, p=p_src))
-                self.refs = self.refs.at[:, t].set(self.refs[:, j])
+        dims = 2 if para.mode == "2d" else 3
+        fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
+        ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
+        for t in range(para.k):
+            if distr[t] < thres / para.k:
+                j = int(rng.choice(para.k, p=p_src))
+                self.log.info(
+                    "Round %d: class %d empty, resigned from class %d "
+                    "(random-phased past shell %d)", self.iteration, t, j,
+                    self.ladder.r)
+                for h in (0, 1):
+                    self.key, sub = jax.random.split(self.key)
+                    ft = spectrum.random_phase(
+                        sub, fftc(self.refs[h, j]), self.ladder.r, dims)
+                    self.refs = self.refs.at[h, t].set(ifftc(ft).real)
 
     def _golden_fsc(self, ft_a, ft_b):
         """Golden-standard FSC between half-map spectra, with the
