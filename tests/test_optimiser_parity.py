@@ -140,8 +140,19 @@ def test_balance_class_resigns_empty_class():
     opt.best_class = np.zeros(B, np.int32)  # class 1 empty
     opt.refs = opt.refs.at[:, 1].set(0.0)
     opt.balance_class()
-    # class 1 reference resigned from class 0
-    assert np.allclose(np.asarray(opt.refs[:, 1]), np.asarray(opt.refs[:, 0]))
+    # class 1 reference resigned from class 0: low band matches the
+    # source, phases past the ladder band are randomised (divergence
+    # force; the pure copy is balanceClass src/Optimiser.cpp:5585)
+    new1 = np.asarray(opt.refs[:, 1])
+    src = np.asarray(opt.refs[:, 0])
+    assert not np.allclose(new1, 0.0)
+    from thunder_tpu.ops import spectrum
+
+    fsc = np.asarray(spectrum.frc_fsc(
+        fft_ops.fft3_center(jnp.asarray(new1[0])),
+        fft_ops.fft3_center(jnp.asarray(src[0])), N // 2, 3))
+    band = min(opt.ladder.r, N // 2 - 1)
+    assert np.all(fsc[1:max(2, band - 1)] > 0.98), fsc
 
 
 def test_golden_fsc_core_correction_runs():

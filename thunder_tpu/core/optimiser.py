@@ -548,7 +548,12 @@ class Optimiser:
         half-plane layout (2, S, P). ``ori=True`` reads the unmasked stack
         (_imgOri); ``refined_defocus`` evaluates the CTF at the filter's
         rank-1 defocus factor."""
-        stack = self.imgs_ft_ori if ori else self.imgs_ft
+        if ori:
+            stack = self.imgs_ft_ori
+        else:
+            if self.imgs_ft is None:  # dropped before a Nyquist pass
+                self._rebuild_masked_stack()
+            stack = self.imgs_ft
         dat = pixels.gather_pixels(stack, ring)
         col = jnp.asarray(ring.col)
         row = jnp.asarray(ring.row)
@@ -968,49 +973,53 @@ class Optimiser:
                      self.plane_valid) / n_draw
         state = {k: jnp.asarray(self.par[k]) for k in ("r", "t", "c")}
         keys = self._iter_keys(salt=3)
-        tabs, offs = engine.insert_reduce(
-            self.mesh, col, row, pmask, dat, c, state, keys,
-            jnp.asarray(w_img), jnp.asarray(self.offsets),
-            mode=para.mode, pf=para.pf, n=self.n, k_classes=para.k,
-            mc=mc, n_draw=n_draw, chunk=self._chunk(),
-        )
-        # the accumulators come back sharded over the half axis; bring them
-        # to every device for the per-class fold + hemisphere FSC (small
-        # relative to HBM except at the final Nyquist band)
-        tabs = jax.device_put(tabs, engine.replicated(self.mesh))
-        self._update_insert_offsets(host_np(offs))
+        par_c = state["c"]
 
+        # Memory staging (the reference frees stacks and staggers
+        # reconstructor allocation around the Nyquist pass,
+        # src/Optimiser.cpp:4088-4112): one class's accumulator lives at a
+        # time — insert with the other classes' weights zeroed, fold +
+        # Wiener-reconstruct per hemisphere on its own mesh row with the
+        # accumulator buffer DONATED, then move to the next class. The
+        # per-image pose draws are keyed by image, so the class-sequential
+        # result equals the fused-table result.
         fftc = fft_ops.fft2_center if dims == 2 else fft_ops.fft3_center
         ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
-        fold = brick_ops.fold_insert2 if dims == 2 else brick_ops.fold_insert3
         radius = (fft_ops.radius_grid_2d if dims == 2
                   else fft_ops.radius_grid_3d)
+        fold = brick_ops.fold_insert2 if dims == 2 else brick_ops.fold_insert3
+        sym_rots = (jnp.asarray(self.sym.rot.astype(np.float32))
+                    if (dims == 3 and self.sym.n_elements)
+                    else jnp.zeros((0, 3, 3), real_dtype))
 
-        def fold_sym(tab_flat, k):
-            tab_k = jnp.concatenate(
-                [tab_flat[k * n_vox:(k + 1) * n_vox],
-                 jnp.zeros((1, tab_flat.shape[-1]), tab_flat.dtype)], 0)
-            f_c, t_c = fold(tab_k)
+        def fold_sym_joined(tab_j):
+            f_c, t_c = fold(tab_j)
             if dims == 3 and self.sym.n_elements:
                 f_c, t_c = reconstructor.symmetrize_cropped(
-                    f_c, t_c, jnp.asarray(self.sym.rot.astype(np.float32)),
-                    r_u, pf=para.pf,
-                )
+                    f_c, t_c, sym_rots, r_u, pf=para.pf)
             return f_c, t_c
 
-        new_refs, fscs, half_maps, joined = [], [], [], []
+        new_refs, fscs, half_maps, joined, offs_all = [], [], [], [], []
         for k in range(para.k):
-            maps = [fold_sym(tabs[h], k) for h in (0, 1)]
+            w_k = w_img * (par_c == k) if para.k > 1 else w_img
+            tab_k, offs_k = engine.insert_reduce(
+                self.mesh, col, row, pmask, dat, c,
+                {**state, "c": jnp.zeros_like(par_c)}, keys,
+                w_k, jnp.asarray(self.offsets),
+                mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
+                mc=mc, n_draw=n_draw, chunk=self._chunk(),
+            )
+            offs_all.append(host_np(offs_k)[:, 0])
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
-            vols = [
-                reconstructor.reconstruct_cropped(
-                    f_c, t_c, fsc_k, self.n, pf=para.pf,
-                    max_radius=r_u, join_half=join_half, dims=dims,
-                )
-                for (f_c, t_c) in maps
-            ]
+            tab_j = jnp.sum(tab_k, axis=0) if final else None
+            vols2 = engine.fold_reconstruct(
+                self.mesh, tab_k, fsc_k, sym_rots, mode=para.mode,
+                pf=para.pf, n=self.n, r_u=r_u, join_half=join_half,
+            )  # donates tab_k
+            vols2 = jax.device_put(vols2, engine.replicated(self.mesh))
+            vols = [vols2[0], vols2[1]]
             ft_a, ft_b = fftc(vols[0]), fftc(vols[1])
             fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
@@ -1027,11 +1036,12 @@ class Optimiser:
             else:
                 new_refs.append(jnp.stack(vols))
             if final:
-                f_j, t_j = fold_sym(tabs[0] + tabs[1], k)
+                f_j, t_j = fold_sym_joined(tab_j)
                 joined.append(np.asarray(reconstructor.reconstruct_cropped(
                     f_j, t_j, jnp.asarray(fscs[-1]), self.n, pf=para.pf,
                     max_radius=r_u, join_half=True, dims=dims,
                 )))
+        self._update_insert_offsets(np.stack(offs_all, axis=1))  # (2, K, 4)
         self.fsc = np.stack(fscs)  # (K, shells)
         self.half_maps = half_maps
         if final:
@@ -1252,6 +1262,11 @@ class Optimiser:
         para = self.para
         if para.skip_r or not hasattr(self, "par"):
             return
+        # free the masked working stack before the memory-heavy Nyquist
+        # reconstruction (the reference frees _img, src/Optimiser.cpp:
+        # 4088-4112); rebuilt on demand if a later stage needs it
+        self.imgs_ft = None
+        self._brick_cache = None
         self.reconstruct(r_u=self.max_r, avg=False, final=True)
         if para.subtract and para.mode == "3d":
             self._subtract_pipeline()

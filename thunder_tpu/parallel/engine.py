@@ -471,6 +471,52 @@ def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
     )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off)
 
 
+# ---------------------------------------------------- per-half reconstruction
+
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "r_u",
+                                   "join_half"), donate_argnums=(1,))
+def fold_reconstruct(mesh, tab, fsc, sym_rots, *, mode, pf, n, r_u,
+                     join_half):
+    """Per-half gridding reconstruction from a single class's brick
+    accumulator: fold + Hermitian mirror, symmetrize, Wiener/C-balance
+    reconstruct — each hemisphere on ITS OWN mesh row
+    (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835, run by
+    each hemisphere's lead independently).
+
+    tab: (2, n_vox + 1, width) sharded P(half) — DONATED, so the multi-GB
+    Nyquist-band accumulator's HBM is reused during the reconstruction
+    (the reference's staged alloc/free, src/Optimiser.cpp:4088-4112).
+    fsc: (n//2,) replicated; sym_rots: (G, 3, 3) replicated (may be empty).
+    Returns volumes (2, [n,] n, n) sharded P(half)."""
+    from ..core import reconstructor
+    from ..ops import brick as brick_ops
+
+    dims = 2 if mode == "2d" else 3
+    lh = 2 // mesh.shape[HALF_AXIS]
+
+    def local(tab, fsc, sym_rots):
+        vols = []
+        for h in range(lh):
+            fold = (brick_ops.fold_insert2 if dims == 2
+                    else brick_ops.fold_insert3)
+            f_c, t_c = fold(tab[h])
+            if dims == 3 and sym_rots.shape[0]:
+                f_c, t_c = reconstructor.symmetrize_cropped(
+                    f_c, t_c, sym_rots, r_u, pf=pf)
+            vols.append(reconstructor.reconstruct_cropped(
+                f_c, t_c, fsc, n, pf=pf, max_radius=r_u,
+                join_half=join_half, dims=dims))
+        return jnp.stack(vols)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS), P(), P()),
+        out_specs=P(HALF_AXIS),
+        check_vma=False,
+    )(tab, fsc, sym_rots)
+
+
 # -------------------------------------------------------- M-step statistics
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "n_groups",
