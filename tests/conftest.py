@@ -30,6 +30,17 @@ def pytest_configure(config):
         "(deselect with -m 'not slow')")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _isolate_cwd(tmp_path_factory):
+    """Run the whole session from a scratch directory so tests that leave
+    ``Para.output_directory`` at its ``./`` default (e2e fixtures) drop their
+    round dumps (Sig_/Tau_/Timing_/FSC_ files) outside the repo tree."""
+    prev = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("cwd"))
+    yield
+    os.chdir(prev)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

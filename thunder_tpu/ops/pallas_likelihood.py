@@ -40,7 +40,7 @@ _NEG = -3.0e38  # plain float: no backend init at import time
 
 
 def _kernel(q_re, q_im, e, pk_re, pk_im, tra_re, tra_im, prior_r, prior_t,
-            valid_n, wr_ref, wc_ref, wt_ref, base_ref, *, n_t):
+            valid_n, wr_ref, wc_ref, wt_ref, base_ref, *, n_t, t_pad):
     """One (image tile, pose tile) program.
 
     q_re/q_im/e: (B_T, P) bf16 — Q = -2 sigRcp ctf conj(dat), E = sigRcp
@@ -50,8 +50,11 @@ def _kernel(q_re, q_im, e, pk_re, pk_im, tra_re, tra_im, prior_r, prior_t,
     prior_r: (B_T, N_T) f32 rotation prior (0 on pad poses)
     prior_t: (B_T, T) f32 translation prior
     valid_n: (1, N_T) f32 {0,1} pose validity
-    Outputs: wr (B_T, N_T), wc (B_T, 1), wt (B_T, T), base (B_T, 1) —
-    all under THIS TILE's final baseline.
+    Outputs: wr (B_T, N_T), wc (B_T, 128), wt (B_T, t_pad),
+    base (B_T, 128) — all under THIS TILE's final baseline. The scalar
+    per-image outputs (wc, base) are lane-broadcast to 128-wide blocks:
+    Mosaic requires output block lane dims divisible by 128
+    (pallas guide; lowering check in jax pallas/mosaic/lowering.py).
     """
     f32 = jnp.float32
     # term2[b, n] = sum_p E[b,p] |P[n,p]|^2 — one MXU matmul on the
@@ -60,11 +63,19 @@ def _kernel(q_re, q_im, e, pk_re, pk_im, tra_re, tra_im, prior_r, prior_t,
     term2 = jax.lax.dot_general(
         e[:], p2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
     invalid = (valid_n[:] == 0.0)  # (1, N_T)
+    b_t = q_re.shape[0]
+    # lane index for one-hot translation-column updates (dynamic lane
+    # slicing forces Mosaic relayouts; a masked add does not)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (b_t, t_pad), 1)
 
     def step(t, carry):
         base, wr, wc, wt = carry
-        t_re = tra_re[pl.ds(t, 1), :]  # (1, P)
-        t_im = tra_im[pl.ds(t, 1), :]
+        # tra refs are (T*8, P) with each row sublane-replicated 8x: the
+        # dynamic sublane index 8*t is provably 8-aligned for Mosaic (a raw
+        # dynamic index at t is not, and a one-hot row-select matmul
+        # crashes its tiler)
+        t_re = tra_re[pl.ds(t * 8, 8), :][0:1]  # (1, P)
+        t_im = tra_im[pl.ds(t * 8, 8), :][0:1]
         qt_re = q_re[:] * t_re - q_im[:] * t_im
         qt_im = q_re[:] * t_im + q_im[:] * t_re
         term1 = jax.lax.dot_general(
@@ -79,29 +90,30 @@ def _kernel(q_re, q_im, e, pk_re, pk_im, tra_re, tra_im, prior_r, prior_t,
         new_base = jnp.maximum(base, cmax)
         scale = jnp.exp(base - new_base)
         w = jnp.exp(log_l - new_base)                    # (B_T, N_T)
-        pt_col = jax.lax.dynamic_slice_in_dim(prior_t[:], t, 1, 1)  # (B_T,1)
+        onehot = (lane_t == t).astype(f32)               # (B_T, t_pad)
+        # prior_t is lane-padded to t_pad with zeros (16-lane vectors crash
+        # the Mosaic tiler); the one-hot picks the live column
+        pt_col = jnp.sum(prior_t[:] * onehot, axis=1, keepdims=True)
         wpr = w * prior_r[:]
         wr = wr * scale + w * pt_col
-        wc = wc * scale + jnp.sum(wpr, axis=1, keepdims=True) * pt_col
+        wsum = jnp.sum(wpr, axis=1, keepdims=True)       # (B_T, 1)
+        wc = wc * scale + wsum * pt_col
         # all previously written wt columns rescale to the new baseline;
         # this step's column = sum_n w * prior_r
-        wt = wt * scale
-        wt = jax.lax.dynamic_update_slice_in_dim(
-            wt, jnp.sum(wpr, axis=1, keepdims=True), t, 1)
+        wt = wt * scale + wsum * onehot
         return new_base, wr, wc, wt
 
-    b_t = q_re.shape[0]
     init = (
         jnp.full((b_t, 1), _NEG, f32),
         jnp.zeros((b_t, N_T), f32),
         jnp.zeros((b_t, 1), f32),
-        jnp.zeros((b_t, n_t), f32),
+        jnp.zeros((b_t, t_pad), f32),
     )
     base, wr, wc, wt = jax.lax.fori_loop(0, n_t, step, init)
     wr_ref[:] = wr
-    wc_ref[:] = wc
+    wc_ref[:] = jnp.broadcast_to(wc, (b_t, 128))
     wt_ref[:] = wt
-    base_ref[:] = base
+    base_ref[:] = jnp.broadcast_to(base, (b_t, 128))
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
@@ -143,15 +155,18 @@ def global_scan_fused(q, e, proj, tra, prior_r, prior_t, *, k=1,
         return jnp.concatenate(
             [x, jnp.zeros((b_pad - b,) + x.shape[1:], x.dtype)], 0)
 
+    t_pad = -(-t // 128) * 128  # Mosaic: lane dims % 128 == 0
     q_re = bpad(q.real).astype(bf16)
     q_im = bpad(q.imag).astype(bf16)
     e_b = bpad(e).astype(bf16)
     pr = bpad(pr)
-    pt = bpad(prior_t)
+    pt = bpad(jnp.concatenate(
+        [prior_t, jnp.zeros((b, t_pad - t), prior_t.dtype)], axis=1))
     pk_re = pk.real.astype(bf16)
     pk_im = pk.imag.astype(bf16)
-    tra_re = tra.real.astype(bf16)
-    tra_im = tra.imag.astype(bf16)
+    # sublane-replicate each translation row 8x (see kernel comment)
+    tra_re = jnp.repeat(tra.real.astype(bf16), 8, axis=0)
+    tra_im = jnp.repeat(tra.imag.astype(bf16), 8, axis=0)
 
     n_b, n_n = b_pad // B_T, (k * r_pad) // N_T
     vmem = pltpu.VMEM
@@ -163,39 +178,44 @@ def global_scan_fused(q, e, proj, tra, prior_r, prior_t, *, k=1,
         pl.BlockSpec((N_T, p), lambda i, j: (j, 0), memory_space=vmem)
         for _ in range(2)
     ]
-    full_specs = [  # translations: replicated to every program
-        pl.BlockSpec((t, p), lambda i, j: (0, 0), memory_space=vmem)
+    full_specs = [  # translations: replicated to every program, (T*8, P)
+        pl.BlockSpec((t * 8, p), lambda i, j: (0, 0), memory_space=vmem)
         for _ in range(2)
     ]
     wr_p, wc_p, wt_p, base_p = pl.pallas_call(
-        partial(_kernel, n_t=t),
+        partial(_kernel, n_t=t, t_pad=t_pad),
         grid=(n_b, n_n),
         in_specs=row_specs + pose_specs + full_specs + [
             pl.BlockSpec((B_T, N_T), lambda i, j: (i, j), memory_space=vmem),
-            pl.BlockSpec((B_T, t), lambda i, j: (i, 0), memory_space=vmem),
+            pl.BlockSpec((B_T, t_pad), lambda i, j: (i, 0),
+                         memory_space=vmem),
             pl.BlockSpec((1, N_T), lambda i, j: (0, j), memory_space=vmem),
         ],
         out_specs=[
             pl.BlockSpec((B_T, N_T), lambda i, j: (i, j), memory_space=vmem),
-            pl.BlockSpec((B_T, 1), lambda i, j: (i, j), memory_space=vmem),
-            pl.BlockSpec((B_T, t), lambda i, j: (i, j), memory_space=vmem),
-            pl.BlockSpec((B_T, 1), lambda i, j: (i, j), memory_space=vmem),
+            pl.BlockSpec((B_T, 128), lambda i, j: (i, j), memory_space=vmem),
+            pl.BlockSpec((B_T, t_pad), lambda i, j: (i, j),
+                         memory_space=vmem),
+            pl.BlockSpec((B_T, 128), lambda i, j: (i, j), memory_space=vmem),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, k * r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, n_n), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, n_n * t), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, n_n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_n * 128), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_n * t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_n * 128), jnp.float32),
         ],
         interpret=interpret,
     )(q_re, q_im, e_b, pk_re, pk_im, tra_re, tra_im, pr, pt, valid)
 
-    # epilogue: merge per-tile baselines exactly
+    # epilogue: merge per-tile baselines exactly (the 128-wide scalar
+    # blocks are lane-broadcast copies; column 0 is the value)
+    base_p = base_p.reshape(b_pad, n_n, 128)[:, :, 0]      # (B, n_n)
+    wc_p = wc_p.reshape(b_pad, n_n, 128)[:, :, 0]
     base = jnp.max(base_p, axis=1, keepdims=True)          # (B, 1)
     scale = jnp.exp(base_p - base)                         # (B, n_n)
     wr = (wr_p.reshape(b_pad, n_n, N_T) * scale[..., None]).reshape(
         b_pad, k, r_pad)[:b, :, :r]
-    wt_p = wt_p.reshape(b_pad, n_n, t) * scale[..., None]
+    wt_p = wt_p.reshape(b_pad, n_n, t_pad)[:, :, :t] * scale[..., None]
     tiles_per_k = r_pad // N_T
     wc = jnp.sum((wc_p * scale).reshape(b_pad, k, tiles_per_k), 2)[:b]
     wt = jnp.sum(wt_p.reshape(b_pad, k, tiles_per_k, t), 2)[:b]
