@@ -68,15 +68,21 @@ def main():
 
     # three jitted stages (compiling the fused step takes XLA > 10 min; the
     # real optimiser also runs these as separate programs)
+    pmask_np = np.asarray(ring.mask, np.float32)
+
     @jax.jit
     def stage_project(vol):
-        tab = projector.build_brick_projectee_3d(vol, r_band, pf=pf)
+        # bf16 rows halve the measured per-index gather cost (the step's
+        # dominant op); interpolation dots accumulate f32 (ops/brick.py)
+        tab = projector.build_brick_projectee_3d(
+            vol, r_band, pf=pf, dtype=jnp.bfloat16)
         return projector.project_brick_3d(tab, rots, col, row, pf=pf)
 
     @jax.jit
     def stage_scan(imgs, ctf, sig_rcp, proj, tra):
-        out = likelihood.global_search_weights(
-            imgs, ctf, sig_rcp, proj[None], tra, pixel_mask=pmask
+        # fused Pallas/MXU kernel (ops/pallas_likelihood.py)
+        out = likelihood.global_search_weights_fused(
+            imgs, ctf, sig_rcp, proj[None], tra, pixel_mask=pmask_np
         )
         best_r = jnp.argmax(out["wR"][:, 0, :], axis=-1)
         best_t = jnp.argmax(out["wT"][:, 0, :], axis=-1)

@@ -14,6 +14,18 @@
 //   insert (src/Reconstructor.cpp:569-928): per image, trilinear
 //     scatter-add of value*CTF into F and CTF^2 into T + Hermitian mirror.
 //
+// With --full it instead measures a FULL local-search iteration per
+// particle — the regime most refine iterations run in once the global
+// search is done (searchType LOCAL, src/Optimiser.cpp:1138-1660):
+//
+//   phase B x N_PHASE (demo-representative 10 phases): per image, project
+//     its M_L_R=125 support rotations (trilinear), evaluate the particle
+//     filter likelihood over M_L_R x M_L_T=9 (logDataVSPrior per support
+//     point, src/Optimiser.cpp:1294-1402),
+//   insert with M_RECO=100 sampled poses per image
+//     (Optimiser::reconstructRef draws mReco support points,
+//     src/Optimiser.cpp:6711+).
+//
 // Single-threaded by default (the metric is per CORE); OMP_NUM_THREADS>1
 // scales it for sanity checks. Compile: make (g++ -O3 -mavx2 -ffast-math).
 
@@ -24,6 +36,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <random>
+#include <string>
 #include <vector>
 
 #ifdef _OPENMP
@@ -82,7 +95,13 @@ static inline void scatter(std::vector<cf>& F, std::vector<float>& T, float zc,
             }
 }
 
+static const int N_PHASE = 10;   // representative particle-filter phases
+static const int M_L_R = 125;    // local rotation support points (demo)
+static const int M_L_T = 9;      // local translation support points (demo)
+static const int M_RECO = 100;   // reconstruction pose draws (demo)
+
 int main(int argc, char** argv) {
+    bool full = argc > 1 && std::string(argv[1]) == "--full";
     std::mt19937 rng(0);
     std::normal_distribution<float> nrm(0.f, 1.f);
     std::uniform_real_distribution<float> uni(0.f, 1.f);
@@ -147,6 +166,80 @@ int main(int argc, char** argv) {
     double sink = 0;
 
     auto t0 = std::chrono::steady_clock::now();
+
+    if (full) {
+        // ---- full local-search iteration (src/Optimiser.cpp:1138-1660):
+        // N_PHASE phases of per-image support projection + particle-filter
+        // likelihood, then an M_RECO-pose insert per image
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) firstprivate(pri) reduction(+:sink)
+#endif
+        for (int l = 0; l < N_IMG; l++) {
+            const cf* d = &dat[(size_t)l * P];
+            const float* c = &ctf[(size_t)l * P];
+            const float* s = &srcp[(size_t)l * P];
+            for (int ph = 0; ph < N_PHASE; ph++) {
+                for (int r = 0; r < M_L_R; r++) {
+                    const Mat3& R = rot[(size_t)(l * M_L_R + r + ph) % N_ROT];
+                    for (int p = 0; p < P; p++) {
+                        float hx = col[p] * PF, hy = row[p] * PF;
+                        float x = R.m[0] * hx + R.m[1] * hy;
+                        float y = R.m[3] * hx + R.m[4] * hy;
+                        float z = R.m[6] * hx + R.m[7] * hy;
+                        pri[p] = trilinear(vol, z, y, x);
+                    }
+                    for (int t = 0; t < M_L_T; t++) {
+                        const cf* tr = &tra[(size_t)(t % N_TRA) * P];
+                        float acc = 0.f;
+                        for (int p = 0; p < P; p++) {
+                            cf prj = c[p] * tr[p] * pri[p];
+                            float dr = d[p].real() - prj.real();
+                            float di = d[p].imag() - prj.imag();
+                            acc += (dr * dr + di * di) * s[p];
+                        }
+                        sink += acc;
+                    }
+                }
+            }
+        }
+        auto tb = std::chrono::steady_clock::now();
+
+        for (int l = 0; l < N_IMG; l++) {
+            const cf* d = &dat[(size_t)l * P];
+            const float* c = &ctf[(size_t)l * P];
+            for (int sdraw = 0; sdraw < M_RECO; sdraw++) {
+                const Mat3& R = rot[(size_t)(l * M_RECO + sdraw) % N_ROT];
+                for (int p = 0; p < P; p++) {
+                    float hx = col[p] * PF, hy = row[p] * PF;
+                    float x = R.m[0] * hx + R.m[1] * hy;
+                    float y = R.m[3] * hx + R.m[4] * hy;
+                    float z = R.m[6] * hx + R.m[7] * hy;
+                    cf fv = (1.f / M_RECO) * c[p] * d[p];
+                    float tv = (1.f / M_RECO) * c[p] * c[p];
+                    scatter(F, T, z, y, x, fv, tv);
+                    scatter(F, T, -z, -y, -x, std::conj(fv), tv);
+                }
+            }
+        }
+        auto tc = std::chrono::steady_clock::now();
+        double dt_b = std::chrono::duration<double>(tb - t0).count();
+        double dt_i = std::chrono::duration<double>(tc - tb).count();
+        double dt = dt_b + dt_i;
+        int threads = 1;
+#ifdef _OPENMP
+        threads = omp_get_max_threads();
+#endif
+        double pps = N_IMG / dt;
+        std::printf(
+            "{\"mode\": \"full_local_iteration\", \"pixels\": %d, "
+            "\"threads\": %d, \"n_phase\": %d, \"m_l_r\": %d, \"m_l_t\": %d, "
+            "\"m_reco\": %d, \"t_phaseB_s\": %.3f, \"t_insert_s\": %.3f, "
+            "\"particles_per_sec\": %.3f, "
+            "\"particles_per_sec_per_core\": %.3f, \"sink\": %.3g}\n",
+            P, threads, N_PHASE, M_L_R, M_L_T, M_RECO, dt_b, dt_i, pps,
+            pps / threads, sink + std::abs(F[0]));
+        return 0;
+    }
 
     // ---- phase A: rotations x translations x images x pixels
 #ifdef _OPENMP

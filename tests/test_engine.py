@@ -62,7 +62,11 @@ def _build(mesh, vol, imgs, cp):
                 m_l_r=16, m_l_t=4, m_l_d=4, m_reco=4, trans_s=1.5,
                 init_res=20.0, global_search_res=6.0, sym="C1",
                 save_ref_each_iter=False, save_thu_each_iter=False,
-                image_batch=2, seed=3)
+                # f32 tables: the strict 1-vs-8-device comparison needs the
+                # widest numeric margin — bf16 projection quantization can
+                # push a resampling draw onto a tie that psum ordering then
+                # flips differently across layouts (a pick flip, not drift)
+                image_batch=2, seed=3, table_bf16=False)
     opt = Optimiser(para, mesh=mesh)
     opt.set_data(imgs, cp)
     opt.init_reference(vol)

@@ -88,6 +88,10 @@ class Para:
     # "on"/"off" force; "interpret" runs the Pallas kernel interpreted
     # (CPU testing)
     fused_kernels: str = "auto"
+    # bfloat16 projection brick tables: halves the per-index gather cost of
+    # the E-step's dominant op (interp dots still accumulate f32);
+    # reconstruction accumulators are unaffected
+    table_bf16: bool = True
 
     @property
     def mask_radius_px(self):

@@ -529,14 +529,17 @@ class Optimiser:
 
     def _build_bricks(self, r_band):
         para = self.para
+        # bf16 rows halve the measured per-index gather cost on TPU
+        # (scripts/gather_width_bench.py); interpolation dots stay f32
+        dt = jnp.bfloat16 if para.table_bf16 else jnp.float32
         if para.mode == "2d":
             tabs = projector.build_brick_projectee_2d(
-                self.refs, r_band, pf=para.pf)  # leading (2, K) axes ok
+                self.refs, r_band, pf=para.pf, dtype=dt)  # leading (2, K) ok
         else:
             tabs = jnp.stack([
                 jnp.stack([
                     projector.build_brick_projectee_3d(
-                        self.refs[h, k], r_band, pf=para.pf)
+                        self.refs[h, k], r_band, pf=para.pf, dtype=dt)
                     for k in range(para.k)
                 ])
                 for h in (0, 1)

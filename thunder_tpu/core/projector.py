@@ -102,19 +102,20 @@ def project_pixels_2d(img_ft, rot, col, row, pf=2, interp="linear"):
 
 
 def build_brick_projectee_3d(vol_rl, r_max, pf=2, interp="linear",
-                             grid_correct=True):
+                             grid_correct=True, dtype=jnp.float32):
     """Real-space volume (n, n, n) -> band-cropped brick gather table
     (mc, mc, mc, 16). ``r_max`` is the highest image shell the E-step will
     touch (the ladder's r); the table only stores |k| <= r_max * pf, which
-    keeps it small through most of the frequency ladder (ops.brick)."""
+    keeps it small through most of the frequency ladder (ops.brick).
+    ``dtype=bfloat16`` halves gather cost on TPU (see brick.pack_vol3)."""
     ft = build_projectee_3d(vol_rl, pf=pf, interp=interp,
                             grid_correct=grid_correct)
     mc = brick.crop_size(r_max, pf)
-    return brick.pack_vol3(brick.crop_center_ft(ft, mc))
+    return brick.pack_vol3(brick.crop_center_ft(ft, mc), dtype=dtype)
 
 
 def build_brick_projectee_2d(img_rl, r_max, pf=2, interp="linear",
-                             grid_correct=True):
+                             grid_correct=True, dtype=jnp.float32):
     """2D counterpart -> (mc, mc, 8) bilinear brick table. Leading class
     axes are allowed: (..., n, n) -> (..., mc, mc, 8)."""
     ft = build_projectee_2d(img_rl, pf=pf, interp=interp,
@@ -123,7 +124,7 @@ def build_brick_projectee_2d(img_rl, r_max, pf=2, interp="linear",
     m = ft.shape[-1]
     lo = m // 2 - mc // 2
     ft = ft[..., lo:lo + mc, lo:lo + mc]
-    return brick.pack_vol2(ft)
+    return brick.pack_vol2(ft, dtype=dtype)
 
 
 def slice_coords_3d(rot, col, row, pf=2):

@@ -81,31 +81,59 @@ def _corners3(coords, mc):
     return idx, w8, valid
 
 
-def pack_vol3(vol_ft):
-    """Centered cropped complex spectrum (mc, mc, mc) -> gather table
-    (mc, mc, mc, 16) f32 rows [re(corner 0..7), im(corner 0..7)], corner
-    order (dz, dy, dx) binary."""
+def pack_vol3(vol_ft, dtype=jnp.float32):
+    """Centered cropped complex spectrum (mc, mc, mc) -> gather table.
+
+    ``dtype=float32``: (mc, mc, mc, 16) rows [re(corner 0..7),
+    im(corner 0..7)], corner order (dz, dy, dx) binary.
+
+    ``dtype=bfloat16``: (mc, mc, mc, 8) float32 rows where each LANE packs
+    one corner's (re, im) as a bitcast bf16 pair. Measured XLA gather cost
+    on v5e follows the LANE count, not bytes (~6.7 ns/idx at 2-8 lanes,
+    ~28 ns at 16, scripts/gather_width_bench.py + in-situ probes), so
+    halving lanes nearly halves the E-step's dominant op; gathers unpack
+    and accumulate the interpolation dot in float32."""
     mc = vol_ft.shape[0]
     vp = jnp.pad(vol_ft, ((0, 1), (0, 1), (0, 1)))
     parts = [vp[dz:dz + mc, dy:dy + mc, dx:dx + mc]
              for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
     st = jnp.stack(parts, -1)  # (mc, mc, mc, 8) complex
+    if dtype == jnp.bfloat16:
+        pairs = jnp.stack(
+            [st.real.astype(jnp.bfloat16), st.imag.astype(jnp.bfloat16)],
+            -1)  # (mc, mc, mc, 8, 2) bf16
+        return jax.lax.bitcast_convert_type(pairs, jnp.float32)
     return jnp.concatenate(
-        [st.real.astype(jnp.float32), st.imag.astype(jnp.float32)], -1)
+        [st.real.astype(dtype), st.imag.astype(dtype)], -1)
+
+
+def unpack_pair_rows(rows):
+    """(..., C) f32 bitcast-packed rows -> (re (..., C), im (..., C)) f32
+    (see pack_vol3 bfloat16 layout)."""
+    pairs = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (..., C, 2)
+    return (pairs[..., 0].astype(jnp.float32),
+            pairs[..., 1].astype(jnp.float32))
 
 
 def gather_vol3(tab, coords):
     """Trilinear complex gather: ONE row-take per sample.
 
-    tab: (mc, mc, mc, 16); coords: (..., 3) centered (z, y, x).
+    tab: (mc, mc, mc, 16) f32 or (mc, mc, mc, 8) packed-bf16-pair f32
+    (pack_vol3); coords: (..., 3) centered (z, y, x).
     Returns (...,) complex64."""
     mc = tab.shape[0]
+    n_chan = tab.shape[-1]
     idx, w8, valid = _corners3(coords, mc)
     idx = jnp.where(valid, idx, 0)
-    rows = jnp.take(tab.reshape(mc**3, 16), idx.reshape(-1), axis=0)
-    rows = rows.reshape(idx.shape + (16,))
-    re = jnp.sum(rows[..., :8] * w8, -1)
-    im = jnp.sum(rows[..., 8:] * w8, -1)
+    rows = jnp.take(tab.reshape(mc**3, n_chan), idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (n_chan,))
+    if n_chan == 8:  # packed bf16 pairs, one lane per corner
+        rr, ri = unpack_pair_rows(rows)
+    else:
+        rows = rows.astype(jnp.float32)
+        rr, ri = rows[..., :8], rows[..., 8:]
+    re = jnp.sum(rr * w8, -1)
+    im = jnp.sum(ri * w8, -1)
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 
@@ -197,25 +225,38 @@ def _corners2(coords, mc):
     return idx, w4, valid
 
 
-def pack_vol2(img_ft):
+def pack_vol2(img_ft, dtype=jnp.float32):
+    """2D counterpart of pack_vol3: (..., mc, mc, 8) f32 rows, or
+    (..., mc, mc, 4) packed-bf16-pair f32 rows for ``dtype=bfloat16``."""
     mc = img_ft.shape[-1]
     vp = jnp.pad(img_ft, tuple([(0, 0)] * (img_ft.ndim - 2)) + ((0, 1), (0, 1)))
     parts = [vp[..., dy:dy + mc, dx:dx + mc] for dy in (0, 1) for dx in (0, 1)]
     st = jnp.stack(parts, -1)
+    if dtype == jnp.bfloat16:
+        pairs = jnp.stack(
+            [st.real.astype(jnp.bfloat16), st.imag.astype(jnp.bfloat16)],
+            -1)
+        return jax.lax.bitcast_convert_type(pairs, jnp.float32)
     return jnp.concatenate(
-        [st.real.astype(jnp.float32), st.imag.astype(jnp.float32)], -1)
+        [st.real.astype(dtype), st.imag.astype(dtype)], -1)
 
 
 def gather_vol2(tab, coords):
-    """Bilinear complex gather from a (mc, mc, 8) table; coords (..., 2)
-    centered (y, x)."""
+    """Bilinear complex gather from a (mc, mc, 8) f32 or (mc, mc, 4)
+    packed-bf16-pair table; coords (..., 2) centered (y, x)."""
     mc = tab.shape[0]
+    n_chan = tab.shape[-1]
     idx, w4, valid = _corners2(coords, mc)
     idx = jnp.where(valid, idx, 0)
-    rows = jnp.take(tab.reshape(mc**2, 8), idx.reshape(-1), axis=0)
-    rows = rows.reshape(idx.shape + (8,))
-    re = jnp.sum(rows[..., :4] * w4, -1)
-    im = jnp.sum(rows[..., 4:] * w4, -1)
+    rows = jnp.take(tab.reshape(mc**2, n_chan), idx.reshape(-1), axis=0)
+    rows = rows.reshape(idx.shape + (n_chan,))
+    if n_chan == 4:  # packed bf16 pairs
+        rr, ri = unpack_pair_rows(rows)
+    else:
+        rows = rows.astype(jnp.float32)
+        rr, ri = rows[..., :4], rows[..., 4:]
+    re = jnp.sum(rr * w4, -1)
+    im = jnp.sum(ri * w4, -1)
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 

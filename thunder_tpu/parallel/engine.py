@@ -125,19 +125,26 @@ def _fused_class_gather(flat, coords, cls, mc, mode):
     """Gather each image's slice from ITS class's brick table: one fused
     row-fetch with the class folded into the flat index (no K-fold
     projection + select; src/Optimiser.cpp:925-955 evaluates only the drawn
-    class in phase B). flat: (K * mc^d, 2 * corners) packed table."""
+    class in phase B). flat: (K * mc^d, 2 * corners) f32 table or
+    (K * mc^d, corners) packed-bf16-pair table (brick.pack_vol3)."""
     if mode == "2d":
         idx, w_c, valid = brick._corners2(coords, mc)
         n_vox, n_corner = mc**2, 4
     else:
         idx, w_c, valid = brick._corners3(coords, mc)
         n_vox, n_corner = mc**3, 8
+    n_chan = flat.shape[-1]
     idx = jnp.where(valid, idx, 0) + (cls * n_vox).reshape(
         (-1,) + (1,) * (idx.ndim - 1))
     rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-        idx.shape + (2 * n_corner,))
-    re = jnp.sum(rows[..., :n_corner] * w_c, -1)
-    im = jnp.sum(rows[..., n_corner:] * w_c, -1)
+        idx.shape + (n_chan,))
+    if n_chan == n_corner:  # packed bf16 pairs, one lane per corner
+        rr, ri = brick.unpack_pair_rows(rows)
+    else:
+        rows = rows.astype(jnp.float32)
+        rr, ri = rows[..., :n_corner], rows[..., n_corner:]
+    re = jnp.sum(rr * w_c, -1)
+    im = jnp.sum(ri * w_c, -1)
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 
