@@ -1,136 +1,127 @@
-"""Benchmark: particles/sec/chip for a demo-shaped 3D refine round.
+"""Benchmark: particles/sec/chip for a FULL demo-shaped 3D refine iteration.
 
-Workload mirrors the reference demo (script/demo.json: 160 px box, pf 2)
-mid-refinement: for each particle batch, project the reference at the scan
-rotations, evaluate the factored pose likelihood over rotations x
-translations with streaming log-sum-exp, pick best poses, and scatter the
-batch into the band-cropped brick accumulators (ops/brick.py). This covers
-the reference's E-step hot loops (src/Optimiser.cpp:622-1136) plus insertion
-(src/Reconstructor.cpp:insertP), which dominate a refine round's wall clock.
+Workload: one complete local-search refinement round at the reference demo
+shape (script/demo.json: 160 px box, pf 2, mLR=125, mLT=9, mReco=100) on
+256 synthetic particles — the regime most refine iterations run in once the
+global search is done. A round covers the particle-filter phase loop
+(src/Optimiser.cpp:1138-1660), sigma/scale/norm statistics
+(src/Optimiser.cpp:5242+, 6201+), the mReco-pose gridding insert
+(src/Optimiser.cpp:6711+, src/Reconstructor.cpp:569-928) and the Wiener
+reconstruction (src/Reconstructor.cpp:2350+), exactly as
+``Optimiser.run_iteration`` executes them.
 
 vs_baseline compares against the self-measured reference-equivalent CPU
-kernel harness (scripts/baseline_cpu/ -> BASELINE.md "measured" row),
-normalized per chip vs per CPU core, since the reference publishes no
-absolute numbers (BASELINE.md).
+harness on the SAME full-iteration workload (scripts/baseline_cpu/baseline
+--full -> BASELINE.md measured rows), normalized per chip vs per CPU core,
+since the reference publishes no absolute numbers (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; the
+per-stage breakdown of the timed round goes to stderr.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-# measured reference row (BASELINE.md): particles/sec/core on the same
-# workload shape, reference-equivalent C++ trilinear kernels, -O3 -mavx2
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 
 
 def main():
-    from thunder_tpu.core import projector, reconstructor
+    import jax
+    import jax.numpy as jnp
+
+    from thunder_tpu.config import Para
+    from thunder_tpu.core import optimiser as opt_mod
+    from thunder_tpu.core.optimiser import Optimiser
+    from thunder_tpu.core import projector
     from thunder_tpu.geom import quat
-    from thunder_tpu.ops import likelihood, pixels
-    from thunder_tpu.ops.translate import translation_phase
-    from thunder_tpu.dtypes import real_dtype, device_complex
+    from thunder_tpu.ops import ctf as ctf_ops
+    from thunder_tpu.ops import fft as fft_ops
+    from thunder_tpu.ops.translate import translate_ft
 
-    n, pf = 160, 2
-    n_imgs = 256          # particles per step
-    n_rot, n_tr = 1024, 16  # scan poses per particle
-    r_band = 40           # mid-refinement frequency band (shells)
-
+    n, b = 160, 256
     rng = np.random.default_rng(0)
-    ring = pixels.pixel_ring(n, 3, r_band)
-    col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
-    pmask = jnp.asarray(ring.mask)
-    p = ring.n
 
-    vol = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
-    quats = quat.random_quat(jax.random.PRNGKey(0), n_rot)
-    rots = quat.rotate3d(quats)
-    trans = jnp.asarray(rng.normal(0, 3, size=(n_tr, 2)).astype(np.float32))
-    tra = translation_phase(col, row, trans[:, 0], trans[:, 1], n)
+    # ---- synthetic demo-shaped dataset: blobs phantom -> project + CTF +
+    # translate + noise (thunder_project semantics, appsrc/thunder_project)
+    g = np.mgrid[:n, :n, :n].astype(np.float32) - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for _ in range(6):
+        c = rng.uniform(-n / 5, n / 5, 3)
+        s = rng.uniform(n / 30, n / 12)
+        vol += np.exp(-((g[0] - c[2]) ** 2 + (g[1] - c[1]) ** 2
+                        + (g[2] - c[0]) ** 2) / (2 * s * s))
+    q = np.asarray(quat.random_quat(jax.random.PRNGKey(1), b))
+    tr = rng.normal(0, 2.0, (b, 2)).astype(np.float32)
+    cp = dict(voltage=np.full(b, 300e3), defocus_u=rng.uniform(1e4, 2e4, b),
+              defocus_v=rng.uniform(1e4, 2e4, b), defocus_theta=np.zeros(b),
+              cs=np.zeros(b), amp_contrast=np.full(b, 0.1),
+              phase_shift=np.zeros(b))
+    cp = {k: v.astype(np.float32) for k, v in cp.items()}
+    vf = projector.build_projectee_3d(jnp.asarray(vol), pf=2)
+    f = jnp.arange(n) - n // 2
+    colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+    colf = colg.reshape(-1).astype(jnp.float32)
+    rowf = rowg.reshape(-1).astype(jnp.float32)
+    chunks = []
+    for s0 in range(0, b, 128):
+        rots = quat.rotate3d(jnp.asarray(q[s0:s0 + 128]))
+        sl = projector.project_full_3d(vf, rots, n, n // 2 - 1, pf=2)
+        c2d = ctf_ops.ctf_pixels(
+            colf, rowf, n, 1.32,
+            *[jnp.asarray(cp[k][s0:s0 + 128])[:, None] for k in
+              ("voltage", "defocus_u", "defocus_v", "defocus_theta", "cs",
+               "amp_contrast", "phase_shift")]).reshape(-1, n, n)
+        sl = translate_ft(sl * c2d, jnp.asarray(tr[s0:s0 + 128, 0]),
+                          jnp.asarray(tr[s0:s0 + 128, 1]))
+        chunks.append(np.asarray(fft_ops.ifft2_center(sl).real, np.float32))
+    stack = np.concatenate(chunks)
+    stack += rng.normal(0, stack.std(), stack.shape).astype(np.float32)
 
-    # complex buffers cannot cross the axon host<->device boundary; build
-    # them on device from real planes
-    imgs = device_complex(
-        (rng.normal(size=(n_imgs, p)) + 1j * rng.normal(size=(n_imgs, p))).astype(
-            np.complex64
-        )
+    para = Para(
+        mode="3d", k=1, size=n, pixel_size=1.32, mask_radius=75.0,
+        trans_s=2.0, init_res=25.0, global_search_res=15.0, sym="C4",
+        m_s=1024, m_l_r=125, m_l_t=9, m_l_d=9, m_reco=100,
+        c_search=False, l_search=True, pf=2, seed=7, image_batch=64,
+        save_ref_each_iter=False, save_thu_each_iter=False,
+        output_directory="/tmp/bench_out",
     )
-    ctf = jnp.asarray(rng.uniform(-1, 1, size=(n_imgs, p)).astype(np.float32))
-    sig_rcp = jnp.asarray(
-        (-0.5 / rng.uniform(0.5, 2, size=(n_imgs, p)).astype(np.float32))
-    )
+    os.makedirs(para.output_directory, exist_ok=True)
+    opt = Optimiser(para)
+    opt.set_data(stack, cp)
+    opt.init_reference(vol=vol)
+    opt.init_sigma()
 
-    # three jitted stages (compiling the fused step takes XLA > 10 min; the
-    # real optimiser also runs these as separate programs)
-    pmask_np = np.asarray(ring.mask, np.float32)
+    # warm-up global round seeds the particle filter (not timed), then pin
+    # the ladder to the mid-refinement band so every timed round runs the
+    # SAME local-search program (stable shapes, no recompiles)
+    opt.run_iteration()
 
-    @jax.jit
-    def stage_project(vol):
-        # bf16 rows halve the measured per-index gather cost (the step's
-        # dominant op); interpolation dots accumulate f32 (ops/brick.py)
-        tab = projector.build_brick_projectee_3d(
-            vol, r_band, pf=pf, dtype=jnp.bfloat16)
-        return projector.project_brick_3d(tab, rots, col, row, pf=pf)
+    def pin_local(r=40):
+        opt.ladder.search_type = opt_mod.SEARCH_TYPE_LOCAL
+        opt.ladder.r = r
+        opt.ladder.n_no_decrease = 0
 
-    @jax.jit
-    def stage_scan(imgs, ctf, sig_rcp, proj, tra):
-        # fused Pallas/MXU kernel (ops/pallas_likelihood.py)
-        out = likelihood.global_search_weights_fused(
-            imgs, ctf, sig_rcp, proj[None], tra, pixel_mask=pmask_np
-        )
-        best_r = jnp.argmax(out["wR"][:, 0, :], axis=-1)
-        best_t = jnp.argmax(out["wT"][:, 0, :], axis=-1)
-        return best_r, best_t, out["baseline"]
+    pin_local()
+    opt.run_iteration()  # compile the local-search round (not timed)
 
-    @jax.jit
-    def stage_insert(imgs, ctf, rots_b, tra_b, baseline):
-        state = reconstructor.empty_brick_state(n, r_band, pf=pf)
-        state = reconstructor.insert_brick_3d(
-            state, imgs * jnp.conj(tra_b), ctf, rots_b, col, row,
-            jnp.ones(imgs.shape[0], real_dtype), pf=pf, pixel_mask=pmask,
-        )
-        f_c, t_c = reconstructor.finalize_brick(state)
-        # real-valued output: the remote TPU backend cannot transfer
-        # complex64 to host, and a host transfer is the only reliable sync
-        return jnp.abs(f_c).sum() + t_c.sum() + baseline.sum()
+    times = []
+    for _ in range(3):
+        pin_local()
+        t0 = time.perf_counter()
+        opt.run_iteration()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    particles_per_sec = b / dt
 
-    def refine_step():
-        proj = stage_project(vol)
-        best_r, best_t, baseline = stage_scan(imgs, ctf, sig_rcp, proj, tra)
-        return stage_insert(imgs, ctf, rots[best_r], tra[best_t], baseline)
-
-    # warmup/compile; float() forces a device->host sync (the only reliable
-    # sync over the remote-TPU tunnel, which adds ~27 ms RTT per sync —
-    # so amortize: n async dispatches, one sync, minus one dispatch+sync)
-    float(refine_step())
-    t0 = time.perf_counter()
-    float(refine_step())
-    t_one = time.perf_counter() - t0
-    n_steps = 16
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(n_steps):
-        r = refine_step()
-    float(r)
-    dt = max((time.perf_counter() - t0 - t_one) / (n_steps - 1), 1e-9)
-
-    particles_per_sec = n_imgs / dt
-
-    # matmul content of the step (for an MFU estimate, stderr only):
-    # term2: B*P*(K*R); term1 per translation: 2 real matmuls B*P*(K*R)
-    flops = 2 * n_imgs * p * n_rot * (1 + 2 * n_tr)
-    mfu = flops / dt / 197e12  # v5e bf16 peak; f32 ~ 2x this fraction
-    import sys
-
+    rec = opt.history[-1]
     print(
-        f"step {dt*1e3:.1f} ms, matmul GFLOP {flops/1e9:.1f}, "
-        f"MFU(bf16-peak) {mfu*100:.2f}%",
+        f"full local round: {dt:.2f} s median of {len(times)} "
+        f"(all: {[round(t, 2) for t in times]}), n_phase={rec['n_phase']}, "
+        f"timing={ {k: round(v, 2) for k, v in rec['timing'].items()} }",
         file=sys.stderr,
     )
 
@@ -138,14 +129,18 @@ def main():
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)
-        ref = base.get("particles_per_sec_per_core")
+        ref = base.get("full_iteration_particles_per_sec_per_core")
         if ref:
             vs_baseline = round(particles_per_sec / ref, 2)
 
     print(
         json.dumps(
             {
-                "metric": "particles/sec/chip (3D refine E-step + insert, 160px, 1024x16 poses, 40-shell band) vs reference CPU particles/sec/core",
+                "metric": "particles/sec/chip (FULL 3D local-refine round: "
+                          "phase loop + stats + 100-pose insert + "
+                          "reconstruction, 160px, demo sampling) vs "
+                          "reference CPU particles/sec/core on the same "
+                          "workload",
                 "value": round(particles_per_sec, 2),
                 "unit": "particles/s",
                 "vs_baseline": vs_baseline,

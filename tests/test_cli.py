@@ -9,6 +9,9 @@ from thunder_tpu.cli.main import main as cli
 from thunder_tpu.io import read_mrc, write_mrc
 from thunder_tpu.io.thu import make_table, read_thu, write_thu
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -24,6 +24,9 @@ from thunder_tpu.ops.mask import soft_mask_shape
 from thunder_tpu.ops.translate import translate_ft
 from thunder_tpu.parallel.mesh import make_mesh
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 N = 24
 B = 16
 

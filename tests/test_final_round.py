@@ -16,6 +16,9 @@ from thunder_tpu.parallel.mesh import make_mesh
 
 from test_engine import _build, _dataset, B, N
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

@@ -58,3 +58,24 @@ def test_round_produces_observability_outputs(tmp_path):
     assert first[0] == "00001" and len(first) == 2 + opt.para.k
     # the run logged the round summary
     assert "Round 1 done" in open(tmp_path / "thunder.log").read()
+
+
+def test_debug_nan_raises():
+    """CHECK_NAN-equivalent: para.debug_nan flags a poisoned array with the
+    stage name (reference include/Config.h NaN checks)."""
+    import types
+
+    import pytest
+
+    from thunder_tpu.config import Para
+    from thunder_tpu.core.optimiser import Optimiser
+
+    ns = types.SimpleNamespace(para=Para(debug_nan=True),
+                               log=get_logger("ROUND"), iteration=3)
+    ok = {"t": np.zeros((2, 2))}
+    Optimiser._check_nan(ns, "expectation", ok)  # finite: no raise
+    bad = {"t": np.array([[1.0, np.nan]])}
+    with pytest.raises(FloatingPointError, match="expectation"):
+        Optimiser._check_nan(ns, "expectation", bad)
+    ns.para.debug_nan = False
+    Optimiser._check_nan(ns, "expectation", bad)  # disabled: no raise

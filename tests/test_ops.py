@@ -162,7 +162,10 @@ def test_mkb_kernels():
 def test_pixel_ring_roundtrip(rng):
     n = 32
     ring = pixels.pixel_ring(n, 2, 10)
-    assert ring.n % pixels.PIXEL_BUCKET == 0
+    # small bands use the sub-bucket ladder {256, 512, 1024}; the padded
+    # size must be one of the allowed static shapes and cover n_real
+    assert ring.n in (256, 512, 1024) or ring.n % pixels.PIXEL_BUCKET == 0
+    assert ring.n >= ring.n_real
     x = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
     ft = fft.fft2_center(x)
     vals = pixels.gather_pixels(ft, ring)

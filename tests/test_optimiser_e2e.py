@@ -13,6 +13,9 @@ from thunder_tpu.ops.translate import translate_ft
 from thunder_tpu.core import projector
 from thunder_tpu.core.optimiser import Optimiser, SEARCH_TYPE_GLOBAL
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 
 def _phantom(n):
     g = np.mgrid[:n, :n, :n] - n // 2

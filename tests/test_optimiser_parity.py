@@ -17,6 +17,9 @@ from thunder_tpu.ops import ctf as ctf_ops
 from thunder_tpu.ops import fft as fft_ops
 from thunder_tpu.ops.mask import soft_mask_shape
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 N = 32
 B = 24
 

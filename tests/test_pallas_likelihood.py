@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 from thunder_tpu.ops import likelihood
 
+# heavy e2e fixtures: deselect with -m 'not slow' for the fast unit path
+pytestmark = pytest.mark.slow
+
 
 def _problem(rng, b=8, p=512, k=1, r=160, t=5, scale=1.0):
     dat = (rng.normal(size=(b, p)) + 1j * rng.normal(size=(b, p))).astype(

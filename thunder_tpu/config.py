@@ -92,6 +92,10 @@ class Para:
     # the E-step's dominant op (interp dots still accumulate f32);
     # reconstruction accumulators are unaffected
     table_bf16: bool = True
+    # per-stage finite checks (the reference's CHECK_NAN macros,
+    # include/Config.h — compiled out by default there too); costs a host
+    # sync per stage, debug only
+    debug_nan: bool = False
 
     @property
     def mask_radius_px(self):

@@ -330,11 +330,22 @@ class Optimiser:
                 return out
             return cb
 
-        self.imgs_ft_ori = jax.make_array_from_callback(
-            (2, s, n, n), sh, _cb(ft_ori))
-        self.imgs_ft = (jax.make_array_from_callback(
-            (2, s, n, n), sh, _cb(ft_msk)) if self.para.zero_mask
-            else self.imgs_ft_ori)
+        def _sharded_complex(buf):
+            # upload real/imag planes separately and combine on device:
+            # some PJRT backends (remote axon TPU) cannot transfer complex
+            # buffers in either direction (dtypes.device_complex)
+            cb = _cb(buf)
+            rec = jax.make_array_from_callback(
+                (2, s, n, n), sh,
+                lambda i: np.ascontiguousarray(cb(i).real))
+            imc = jax.make_array_from_callback(
+                (2, s, n, n), sh,
+                lambda i: np.ascontiguousarray(cb(i).imag))
+            return jax.jit(jax.lax.complex, out_shardings=sh)(rec, imc)
+
+        self.imgs_ft_ori = _sharded_complex(ft_ori)
+        self.imgs_ft = (_sharded_complex(ft_msk) if self.para.zero_mask
+                        else self.imgs_ft_ori)
         self.offsets = jnp.zeros((2, s, 2), real_dtype)
         self.scale = np.ones(self.n_groups, np.float32)
         self.par = {
@@ -500,6 +511,23 @@ class Optimiser:
 
     # ----------------------------------------------------------- device prep
 
+    def _check_nan(self, stage, arrays):
+        """Per-stage finite checks under ``para.debug_nan`` (the
+        reference's CHECK_NAN macros, include/Config.h — compiled out by
+        default there as well). Costs one host sync per array."""
+        if not self.para.debug_nan:
+            return
+        for name, v in arrays.items():
+            a = np.asarray(v)
+            if np.iscomplexobj(a):
+                a = np.abs(a)
+            if not np.isfinite(a).all():
+                self.log.error("NaN/Inf in %s after %s (round %d)",
+                               name, stage, self.iteration)
+                raise FloatingPointError(
+                    f"non-finite values in '{name}' after {stage} "
+                    f"(round {self.iteration})")
+
     def _ring(self):
         return pixels.pixel_ring(self.n, self.r_low, self.ladder.r)
 
@@ -520,6 +548,12 @@ class Optimiser:
         update rebinds ``self.refs`` and naturally invalidates the cache."""
         para = self.para
         r_band = self.ladder.r if r_band is None else r_band
+        # bucket the table band to multiples of 8 shells: gathers are
+        # IDENTICAL (same coords, table covers a superset band; values at a
+        # voxel do not depend on the crop), but the jitted E-step programs
+        # keyed on mc stop recompiling at every ladder r bump — compiles
+        # over the remote-TPU tunnel cost minutes each
+        r_band = min(-(-int(r_band) // 8) * 8, self.n // 2 - 1)
         c = getattr(self, "_brick_cache", None)
         if c is not None and c[0] is self.refs and c[1] == r_band:
             return c[2]
@@ -990,25 +1024,21 @@ class Optimiser:
         ifftc = fft_ops.ifft2_center if dims == 2 else fft_ops.ifft3_center
         radius = (fft_ops.radius_grid_2d if dims == 2
                   else fft_ops.radius_grid_3d)
-        fold = brick_ops.fold_insert2 if dims == 2 else brick_ops.fold_insert3
         sym_rots = (jnp.asarray(self.sym.rot.astype(np.float32))
                     if (dims == 3 and self.sym.n_elements)
                     else jnp.zeros((0, 3, 3), real_dtype))
 
-        def fold_sym_joined(tab_j):
-            f_c, t_c = fold(tab_j)
-            if dims == 3 and self.sym.n_elements:
-                f_c, t_c = reconstructor.symmetrize_cropped(
-                    f_c, t_c, sym_rots, r_u, pf=para.pf)
-            return f_c, t_c
-
         new_refs, fscs, half_maps, joined, offs_all = [], [], [], [], []
         for k in range(para.k):
             w_k = w_img * (par_c == k) if para.k > 1 else w_img
-            tab_k, offs_k = engine.insert_reduce(
+            # insert + fold + symmetrize fused per half: only ONE
+            # (mc^d+1, 24) brick table is ever live and only the folded
+            # 3-channel (F, T) crosses the psum (the 24-wide table variant
+            # OOM'd the 16 GB chip at the Nyquist band, mc=317)
+            f_ht, t_ht, offs_k = engine.insert_fold_reduce(
                 self.mesh, col, row, pmask, dat, c,
                 {**state, "c": jnp.zeros_like(par_c)}, keys,
-                w_k, jnp.asarray(self.offsets),
+                w_k, jnp.asarray(self.offsets), sym_rots,
                 mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
                 mc=mc, n_draw=n_draw, chunk=self._chunk(),
             )
@@ -1016,11 +1046,10 @@ class Optimiser:
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
-            tab_j = jnp.sum(tab_k, axis=0) if final else None
-            vols2 = engine.fold_reconstruct(
-                self.mesh, tab_k, fsc_k, sym_rots, mode=para.mode,
+            vols2 = engine.reconstruct_halves(
+                self.mesh, f_ht, t_ht, fsc_k, mode=para.mode,
                 pf=para.pf, n=self.n, r_u=r_u, join_half=join_half,
-            )  # donates tab_k
+            )
             vols2 = jax.device_put(vols2, engine.replicated(self.mesh))
             vols = [vols2[0], vols2[1]]
             ft_a, ft_b = fftc(vols[0]), fftc(vols[1])
@@ -1039,7 +1068,10 @@ class Optimiser:
             else:
                 new_refs.append(jnp.stack(vols))
             if final:
-                f_j, t_j = fold_sym_joined(tab_j)
+                f_j = jnp.sum(jax.device_put(
+                    f_ht, engine.replicated(self.mesh)), axis=0)
+                t_j = jnp.sum(jax.device_put(
+                    t_ht, engine.replicated(self.mesh)), axis=0)
                 joined.append(np.asarray(reconstructor.reconstruct_cropped(
                     f_j, t_j, jnp.asarray(fscs[-1]), self.n, pf=para.pf,
                     max_radius=r_u, join_half=True, dims=dims,
@@ -1128,6 +1160,7 @@ class Optimiser:
                 mark("expectation_scan")
             tv0, tv1 = self.local_search()
             mark("expectation_search")
+            self._check_nan("expectation", self.par)
         else:
             tv0, tv1 = self.ladder.t_vari_s0, self.ladder.t_vari_s1
         self.ladder.record_t_vari(tv0, tv1)
@@ -1146,6 +1179,8 @@ class Optimiser:
         if not para.skip_r:
             self.reconstruct()
             mark("reconstruction")
+            self._check_nan("reconstruction", {"refs": self.refs,
+                                               "fsc": self.fsc})
             if search_type_in == SEARCH_TYPE_GLOBAL:
                 self.balance_class()
 

@@ -202,27 +202,45 @@ def finalize_brick(state, mode="3d"):
     return fold(state["tab"])
 
 
-def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2):
+def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2, z_chunk=16):
     """F(k) <- sum_g F(g k) on the band-cropped grid
     (src/Reconstructor.cpp:2676-2692 SYMMETRIZE_FT). Gathers ride the brick
-    row-fetch: [F.re, F.im, T] packed as 3 channels."""
+    row-fetch: [F.re, F.im, T] packed as 3 channels.
+
+    The output grid is processed in z-slabs of ``z_chunk`` planes: a
+    whole-grid gather materializes (mc^3, 24) row temporaries — ~3 GB at
+    the Nyquist band (mc=317) ON TOP of the ~3 GB packed source table,
+    which OOM'd the 16 GB chip during the final pass."""
     if sym_rots.shape[0] == 0:
         return f, t
     mc = f.shape[-1]
     tab = brick.pack_real3(f.real, f.imag, t)
     idx = jnp.arange(mc, dtype=jnp.float32) - mc // 2
-    zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
-    coords = jnp.stack([xx, yy, zz], axis=-1)  # (mc,mc,mc,3) as (x,y,z)
-    r2 = xx**2 + yy**2 + zz**2
-    mask = r2 < float(max_radius * pf + 1) ** 2
-    f_acc, t_acc = f, t
-    for g in range(sym_rots.shape[0]):
-        rot = sym_rots[g].astype(jnp.float32)
-        rc = jnp.einsum("ij,...j->...i", rot, coords)[..., ::-1]
-        ch = brick.gather_real3(tab, rc)  # (mc,mc,mc,3)
-        f_acc = f_acc + jnp.where(
-            mask, jax.lax.complex(ch[..., 0], ch[..., 1]), 0.0)
-        t_acc = t_acc + jnp.where(mask, ch[..., 2], 0.0)
+    yy2, xx2 = jnp.meshgrid(idx, idx, indexing="ij")  # (mc, mc)
+    rots = sym_rots.astype(jnp.float32)
+    n_slab = -(-mc // z_chunk)
+    starts = jnp.arange(n_slab) * z_chunk
+
+    def slab(z0):
+        zz = (jnp.arange(z_chunk, dtype=jnp.float32) + z0)[:, None, None] \
+            - mc // 2  # rows beyond mc gather out-of-band -> 0
+        zzb = jnp.broadcast_to(zz, (z_chunk, mc, mc))
+        coords = jnp.stack(
+            [jnp.broadcast_to(xx2, zzb.shape),
+             jnp.broadcast_to(yy2, zzb.shape), zzb], -1)  # (x, y, z)
+        mask = (coords[..., 0]**2 + coords[..., 1]**2 + coords[..., 2]**2
+                < float(max_radius * pf + 1) ** 2)
+        acc = jnp.zeros(zzb.shape + (3,), jnp.float32)
+        for g in range(rots.shape[0]):
+            rc = jnp.einsum("ij,...j->...i", rots[g], coords)[..., ::-1]
+            acc = acc + jnp.where(mask[..., None],
+                                  brick.gather_real3(tab, rc), 0.0)
+        return acc
+
+    out = jax.lax.map(slab, starts)  # (n_slab, z_chunk, mc, mc, 3)
+    out = out.reshape(-1, mc, mc, 3)[:mc]
+    f_acc = f + jax.lax.complex(out[..., 0], out[..., 1])
+    t_acc = t + out[..., 2]
     return f_acc, t_acc
 
 

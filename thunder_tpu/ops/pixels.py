@@ -43,6 +43,17 @@ class PixelRing:
         return len(self.col)
 
 
+def _bucket_size(n_real, bucket):
+    """Smallest allowed padded size >= n_real: {256, 512, 1024} for small
+    bands (the global-search / early-ladder rings are tiny — a flat 2048
+    floor made round 1 of a 160 px run spend >90% of its E-step on pad
+    pixels), then multiples of ``bucket``."""
+    for small in (256, 512, 1024):
+        if small < bucket and n_real <= small:
+            return small
+    return max(bucket, int(np.ceil(max(n_real, 1) / bucket)) * bucket)
+
+
 def pixel_ring(size, r_low, r_high, bucket=PIXEL_BUCKET):
     """Build the padded pixel set for an size x size image band [r_low, r_high)."""
     i = np.arange(0, int(r_high) + 2)  # col freq >= 0
@@ -59,7 +70,7 @@ def pixel_ring(size, r_low, r_high, bucket=PIXEL_BUCKET):
     row = jj[keep].astype(np.int32)
     sig = v[keep].astype(np.int32)
     n_real = len(col)
-    n_pad = max(bucket, int(np.ceil(n_real / bucket)) * bucket)
+    n_pad = _bucket_size(n_real, bucket)
     pad = n_pad - n_real
     col = np.concatenate([col, np.zeros(pad, np.int32)])
     row = np.concatenate([row, np.zeros(pad, np.int32)])

@@ -382,8 +382,9 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk"))
-def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
-                  tra_off, *, mode, pf, n, k_classes, mc, n_draw, chunk):
+def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
+                       w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
+                       mc, n_draw, chunk):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -399,16 +400,31 @@ def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
     (score / n_draw, 0 for invalid slots); tra_off: (2, S, 2) accumulated
     re-centring offsets.
 
-    Returns (tabs (2, K * mc^d + 1, width), offsets (2, K, 4)) where
-    offsets[..., :3] accumulate dir = -rot @ (tran - offset, 0) per draw
-    and [..., 3] counts draws (Reconstructor::insertDir + allReduceO,
+    The brick accumulator is FOLDED to voxels (+ deferred Hermitian mirror
+    + symmetrization, both linear, so folding per device-partial before the
+    psum is exact) INSIDE this program, per half, so only ONE
+    (K mc^d + 1, width) table is ever live and only the 3-channel folded
+    (F, T) crosses the collective — the 24-wide table psum + a host-side
+    restack OOM'd the 16 GB chip at the Nyquist band (mc=317).
+    sym_quats: (G, 3, 3) rotation matrices, may be empty; k_classes must
+    be 1 (the optimiser stages classes sequentially).
+
+    Returns (f (2, mc^d..) complex64, t (2, mc^d..) f32, offsets (2, K, 4))
+    where offsets[..., :3] accumulate dir = -rot @ (tran - offset, 0) per
+    draw and [..., 3] counts draws (Reconstructor::insertDir + allReduceO,
     src/Optimiser.cpp:7227-7233, src/Reconstructor.cpp:2455-2520)."""
+    from ..core import reconstructor
+    from ..ops import brick as brick_ops
+
+    assert k_classes == 1, "classes are inserted sequentially (staging)"
     lh = 2 // mesh.shape[HALF_AXIS]
     n_vox = mc**2 if mode == "2d" else mc**3
     width = 12 if mode == "2d" else 24
+    fold = brick_ops.fold_insert2 if mode == "2d" else brick_ops.fold_insert3
 
-    def local(col_, row_, pmask_, dat, ctf, state, keys, w_img, tra_off):
-        tabs, offs = [], []
+    def local(col_, row_, pmask_, dat, ctf, state, keys, w_img, tra_off,
+              sym_rots_):
+        f_hs, t_hs, offs = [], [], []
         for h in range(lh):
             st_h = jax.tree.map(lambda x: x[h], state)
 
@@ -426,33 +442,49 @@ def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
                 q_d = jnp.take_along_axis(r_sup, ri[..., None], axis=1)
                 t_d = jnp.take_along_axis(t_sup, ti[..., None], axis=1)
                 t_rel = t_d - o_img[:, None, :]  # tran - offset
-                rots = _rot_mats(q_d, mode)  # (B, n_draw, d, d)
-                if mode == "2d":
-                    coords = projector.slice_coords_2d(rots, col_, row_,
-                                                       pf=pf)
-                else:
-                    coords = projector.slice_coords_3d(rots, col_, row_,
-                                                       pf=pf)
-                tra = translation_phase(col_, row_, -t_rel[..., 0],
-                                        -t_rel[..., 1], n)  # (B, n_draw, P)
-                wv = (w[:, None, None] * pmask_).astype(real_dtype)
-                fv = d[:, None, :] * tra * c[:, None, :] * wv
-                tv = (c[:, None, :] ** 2) * wv
-                tab = _fused_class_insert(tab, coords, cls, fv, tv, mc, mode)
-                # per-class re-centring accumulator: dir = -rot (t-off, 0)
-                if mode == "2d":
-                    dirv = -jnp.einsum("bnij,bnj->bni", rots, t_rel)
-                    dirv = jnp.concatenate(
-                        [dirv, jnp.zeros_like(dirv[..., :1])], -1)
-                else:
-                    t3 = jnp.concatenate(
-                        [t_rel, jnp.zeros_like(t_rel[..., :1])], -1)
-                    dirv = -jnp.einsum("bnij,bnj->bni", rots, t3)
-                cnt = jnp.broadcast_to(w[:, None] > 0,
-                                       t_rel.shape[:2]).astype(real_dtype)
-                o_add = jnp.concatenate(
-                    [dirv * cnt[..., None], cnt[..., None]], -1)
-                off = off.at[cls].add(jnp.sum(o_add, axis=1))
+                # scan over the draw axis: vectorizing all n_draw poses
+                # materializes (B * n_draw * P, corners) scatter temps —
+                # ~2-6 GB per chunk at the Nyquist band (OOM); per-draw the
+                # temp is B * P * corners and the scatter cost per sample
+                # is unchanged (it dominates either way)
+                def draw_step(carry, args1):
+                    tab, off = carry
+                    q_1, t_rel1 = args1  # (B, 4)/(B, 2) one draw per image
+                    rots = _rot_mats(q_1[:, None], mode)  # (B, 1, d, d)
+                    if mode == "2d":
+                        coords = projector.slice_coords_2d(rots, col_, row_,
+                                                           pf=pf)
+                    else:
+                        coords = projector.slice_coords_3d(rots, col_, row_,
+                                                           pf=pf)
+                    tra = translation_phase(col_, row_, -t_rel1[:, None, 0],
+                                            -t_rel1[:, None, 1], n)
+                    wv = (w[:, None, None] * pmask_).astype(real_dtype)
+                    fv = d[:, None, :] * tra * c[:, None, :] * wv
+                    tv = (c[:, None, :] ** 2) * wv
+                    tab = _fused_class_insert(tab, coords, cls, fv, tv, mc,
+                                              mode)
+                    # per-class re-centring accumulator: dir = -rot(t-off,0)
+                    if mode == "2d":
+                        dirv = -jnp.einsum("bnij,bnj->bni", rots,
+                                           t_rel1[:, None])
+                        dirv = jnp.concatenate(
+                            [dirv, jnp.zeros_like(dirv[..., :1])], -1)
+                    else:
+                        t3 = jnp.concatenate(
+                            [t_rel1[:, None],
+                             jnp.zeros_like(t_rel1[:, None, :1])], -1)
+                        dirv = -jnp.einsum("bnij,bnj->bni", rots, t3)
+                    cnt = jnp.broadcast_to(
+                        w[:, None] > 0, dirv.shape[:2]).astype(real_dtype)
+                    o_add = jnp.concatenate(
+                        [dirv * cnt[..., None], cnt[..., None]], -1)
+                    off = off.at[cls].add(jnp.sum(o_add, axis=1))
+                    return (tab, off), 0.0
+
+                (tab, off), _ = jax.lax.scan(
+                    draw_step, (tab, off),
+                    (jnp.moveaxis(q_d, 1, 0), jnp.moveaxis(t_rel, 1, 0)))
                 return (tab, off), 0.0
 
             tab0 = jnp.zeros((k_classes * n_vox + 1, width), jnp.float32)
@@ -465,63 +497,63 @@ def insert_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys, w_img,
                 _chunked(st_h["r"], chunk), _chunked(st_h["t"], chunk),
                 _chunked(st_h["c"], chunk),
             ))
-            tabs.append(jax.lax.psum(tab, DATA_AXIS))
+            # fold this device's partial table NOW (linear: psum commutes)
+            # so the next half's table can reuse its HBM, and psum the
+            # 3-channel voxel arrays instead of the 24-wide brick table
+            f_c, t_c = fold(tab)
+            f_c = jax.lax.psum(f_c, DATA_AXIS)
+            t_c = jax.lax.psum(t_c, DATA_AXIS)
+            if mode != "2d" and sym_rots_.shape[0]:
+                # (mc//2 - 2)/pf == the r_u this mc was cropped for
+                # (brick.crop_size); replicated compute post-psum
+                f_c, t_c = reconstructor.symmetrize_cropped(
+                    f_c, t_c, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
+            f_hs.append(f_c)
+            t_hs.append(t_c)
             offs.append(jax.lax.psum(off, DATA_AXIS))
-        return jnp.stack(tabs), jnp.stack(offs)
+        return jnp.stack(f_hs), jnp.stack(t_hs), jnp.stack(offs)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) * 3 + (P(HALF_AXIS, DATA_AXIS),) * 6,
-        out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
+        in_specs=(P(),) * 3 + (P(HALF_AXIS, DATA_AXIS),) * 6 + (P(),),
+        out_specs=(P(HALF_AXIS), P(HALF_AXIS), P(HALF_AXIS)),
         check_vma=False,
-    )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off)
+    )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off, sym_rots)
 
 
 # ---------------------------------------------------- per-half reconstruction
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "r_u",
-                                   "join_half"), donate_argnums=(1,))
-def fold_reconstruct(mesh, tab, fsc, sym_rots, *, mode, pf, n, r_u,
-                     join_half):
-    """Per-half gridding reconstruction from a single class's brick
-    accumulator: fold + Hermitian mirror, symmetrize, Wiener/C-balance
-    reconstruct — each hemisphere on ITS OWN mesh row
-    (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835, run by
-    each hemisphere's lead independently).
+                                   "join_half"))
+def reconstruct_halves(mesh, f, t, fsc, *, mode, pf, n, r_u, join_half):
+    """Per-half Wiener/C-balance reconstruction from folded+symmetrized
+    (F, T) voxel arrays (insert_fold_reduce) — each hemisphere on ITS OWN
+    mesh row (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835,
+    run by each hemisphere's lead independently).
 
-    tab: (2, n_vox + 1, width) sharded P(half) — DONATED, so the multi-GB
-    Nyquist-band accumulator's HBM is reused during the reconstruction
-    (the reference's staged alloc/free, src/Optimiser.cpp:4088-4112).
-    fsc: (n//2,) replicated; sym_rots: (G, 3, 3) replicated (may be empty).
+    f/t: (2, mc^d..) sharded P(half); fsc: (n//2,) replicated.
     Returns volumes (2, [n,] n, n) sharded P(half)."""
     from ..core import reconstructor
-    from ..ops import brick as brick_ops
 
     dims = 2 if mode == "2d" else 3
     lh = 2 // mesh.shape[HALF_AXIS]
 
-    def local(tab, fsc, sym_rots):
+    def local(f, t, fsc):
         vols = []
         for h in range(lh):
-            fold = (brick_ops.fold_insert2 if dims == 2
-                    else brick_ops.fold_insert3)
-            f_c, t_c = fold(tab[h])
-            if dims == 3 and sym_rots.shape[0]:
-                f_c, t_c = reconstructor.symmetrize_cropped(
-                    f_c, t_c, sym_rots, r_u, pf=pf)
             vols.append(reconstructor.reconstruct_cropped(
-                f_c, t_c, fsc, n, pf=pf, max_radius=r_u,
+                f[h], t[h], fsc, n, pf=pf, max_radius=r_u,
                 join_half=join_half, dims=dims))
         return jnp.stack(vols)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS), P(), P()),
+        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P()),
         out_specs=P(HALF_AXIS),
         check_vma=False,
-    )(tab, fsc, sym_rots)
+    )(f, t, fsc)
 
 
 # -------------------------------------------------------- M-step statistics
