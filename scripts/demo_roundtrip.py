@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--m-s", type=int, default=0,
                     help="override global sampling points")
     ap.add_argument("--image-batch", type=int, default=64)
+    ap.add_argument("--fused", default="auto",
+                    choices=("auto", "on", "off", "interpret"),
+                    help="Pallas global-scan kernel switch (config "
+                    "fused_kernels)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -75,6 +79,7 @@ def main():
     para.image_batch = args.image_batch
     para.output_directory = out
     para.save_ref_each_iter = para.save_thu_each_iter = False
+    para.fused_kernels = args.fused
     if args.init_res:
         para.init_res = args.init_res
     if args.m_s:

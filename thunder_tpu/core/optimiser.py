@@ -53,6 +53,36 @@ SEARCH_TYPE_LOCAL = 1
 SEARCH_TYPE_CTF = 2
 SEARCH_TYPE_STOP = 3
 
+@partial(jax.jit, static_argnames=("mode", "r_band", "pf", "bf16"))
+def _built_tabs(refs, mode, r_band, pf, bf16):
+    """All-class brick tables (2, K, ...) as ONE compiled program — the
+    eager build is ~30 dispatches x padded-volume FFTs, which costs seconds
+    of round-trip latency per iteration on a remote-TPU backend."""
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if mode == "2d":
+        return projector.build_brick_projectee_2d(refs, r_band, pf=pf,
+                                                  dtype=dt)
+    return jax.vmap(jax.vmap(
+        lambda v: projector.build_brick_projectee_3d(v, r_band, pf=pf,
+                                                     dtype=dt)))(refs)
+
+
+@partial(jax.jit, static_argnames=("n", "pixel_size"))
+def _ring_data(stack, col, row, sig_idx, cp, dfac, sig, groups_plane, *, n,
+               pixel_size):
+    """Jitted (dat, ctf, sigRcp) extraction on a ring (one dispatch)."""
+    nn = stack.shape[-1]
+    dat = stack[..., row + nn // 2, col + nn // 2]
+    c = ctf_ops.ctf_pixels(
+        col.astype(jnp.float32), row.astype(jnp.float32), n, pixel_size,
+        cp["voltage"], cp["defocus_u"], cp["defocus_v"],
+        cp["defocus_theta"], cp["cs"], cp["amp_contrast"],
+        cp["phase_shift"], defocus_factor=dfac,
+    )
+    sig_px = sig[groups_plane[..., None], sig_idx[None, None, :]]
+    return dat, c, likelihood.sigma_reciprocal(sig_px)
+
+
 def _centroid(vol):
     """Density centroid of a (n, n, n) map in centered (x, y, z) voxel
     coordinates (centroid(), used for the subtraction region centre,
@@ -563,21 +593,11 @@ class Optimiser:
 
     def _build_bricks(self, r_band):
         para = self.para
-        # bf16 rows halve the measured per-index gather cost on TPU
-        # (scripts/gather_width_bench.py); interpolation dots stay f32
-        dt = jnp.bfloat16 if para.table_bf16 else jnp.float32
-        if para.mode == "2d":
-            tabs = projector.build_brick_projectee_2d(
-                self.refs, r_band, pf=para.pf, dtype=dt)  # leading (2, K) ok
-        else:
-            tabs = jnp.stack([
-                jnp.stack([
-                    projector.build_brick_projectee_3d(
-                        self.refs[h, k], r_band, pf=para.pf, dtype=dt)
-                    for k in range(para.k)
-                ])
-                for h in (0, 1)
-            ])
+        # one jitted program for the whole (2, K) table build: eagerly this
+        # is ~30 dispatches x padded-volume FFTs over the remote tunnel
+        # (seconds of round-trip latency per iteration)
+        tabs = _built_tabs(jnp.asarray(self.refs), para.mode, r_band,
+                           para.pf, para.table_bf16)
         return jax.device_put(tabs, engine.half_sharding(self.mesh))
 
     def _plane_ring_data(self, ring, ori=False, refined_defocus=False):
@@ -591,22 +611,14 @@ class Optimiser:
             if self.imgs_ft is None:  # dropped before a Nyquist pass
                 self._rebuild_masked_stack()
             stack = self.imgs_ft
-        dat = pixels.gather_pixels(stack, ring)
-        col = jnp.asarray(ring.col)
-        row = jnp.asarray(ring.row)
-        cp = self.ctf_params
-        dfac = jnp.asarray(self.par["topD"]) if refined_defocus else 1.0
-        c = ctf_ops.ctf_pixels(
-            col, row, self.n, self.para.pixel_size,
-            cp["voltage"], cp["defocus_u"], cp["defocus_v"],
-            cp["defocus_theta"], cp["cs"], cp["amp_contrast"],
-            cp["phase_shift"], defocus_factor=dfac,
+        dfac = (jnp.asarray(self.par["topD"]) if refined_defocus
+                else jnp.ones((1, 1), real_dtype))
+        return _ring_data(
+            stack, jnp.asarray(ring.col), jnp.asarray(ring.row),
+            jnp.asarray(ring.sig), self.ctf_params, dfac,
+            jnp.asarray(self.sig), jnp.asarray(self.groups_plane),
+            n=self.n, pixel_size=self.para.pixel_size,
         )
-        sig_px = self.sig[
-            jnp.asarray(self.groups_plane)[..., None],
-            jnp.asarray(ring.sig)[None, None, :],
-        ]
-        return dat, c, likelihood.sigma_reciprocal(sig_px)
 
     def _iter_keys(self, salt):
         """(2, S, 2) per-image keys for this iteration: derived from the
