@@ -9,6 +9,10 @@ before any test imports trigger device lookup)."""
 
 import os
 
+# tests run on CPU: the persistent compile cache is for the remote TPU
+# (entries embed machine features; cross-host reload risks SIGILL)
+os.environ.setdefault("THUNDER_NO_COMPILE_CACHE", "1")
+
 # must be set before the CPU backend is first initialized
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

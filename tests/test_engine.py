@@ -145,6 +145,58 @@ def test_non_dividing_image_batch_consistent():
         atol=1e-5 * float(np.abs(np.asarray(ob.refs)).max()))
 
 
+def test_bf16_tables_match_statistically_across_meshes():
+    """The SHIPPED default (table_bf16=True) carries a STATISTICAL
+    1-vs-8-device reproducibility contract, not a bitwise one: bf16
+    quantization of the projection table can flip a borderline resampling
+    draw whose tie psum ordering then breaks differently across layouts
+    (config.py table_bf16 docs; VERDICT r3 weak #5). Posterior summaries
+    and maps must still agree closely; individual draws may differ on a
+    small fraction of images."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    vol, imgs, cp = _dataset(seed=5)
+
+    def build(mesh):
+        para = Para(size=N, pixel_size=2.0, k=1, mask_radius=22.0, m_s=128,
+                    m_l_r=16, m_l_t=4, m_l_d=4, m_reco=4, trans_s=1.5,
+                    init_res=20.0, global_search_res=6.0, sym="C1",
+                    save_ref_each_iter=False, save_thu_each_iter=False,
+                    image_batch=2, seed=3, table_bf16=True)
+        o = Optimiser(para, mesh=mesh)
+        o.set_data(imgs, cp)
+        o.init_reference(vol)
+        o.init_sigma()
+        return o
+
+    o1 = build(make_mesh(n_devices=1))
+    o8 = build(make_mesh(n_devices=8))
+    r1 = o1.run_iteration()
+    r8 = o8.run_iteration()
+
+    # rank-1 poses: identical for (almost) every image; allow one flip
+    q1 = o1._from_plane(o1.par["topR"])
+    q8 = o8._from_plane(o8.par["topR"])
+    dots = np.abs(np.sum(q1 * q8, axis=-1))
+    assert np.mean(dots > 0.999) >= (B - 1) / B, dots
+    t1 = o1._from_plane(o1.par["topT"])
+    t8 = o8._from_plane(o8.par["topT"])
+    assert np.mean(np.linalg.norm(t1 - t8, axis=-1) < 0.25) >= (B - 1) / B
+
+    # distribution-level summaries agree to loose tolerances
+    for k in ("k1", "s0", "s1"):
+        a = o1._from_plane(o1.par[k])
+        b = o8._from_plane(o8.par[k])
+        assert np.abs(np.mean(a) - np.mean(b)) < 0.2 * (np.mean(a) + 1e-3), k
+
+    # maps: high correlation (not bitwise)
+    ra = np.asarray(o1.refs).ravel()
+    rb = np.asarray(o8.refs).ravel()
+    corr = np.corrcoef(ra, rb)[0, 1]
+    assert corr > 0.995, corr
+    assert abs(r1["res_shell"] - r8["res_shell"]) <= 1
+
+
 def test_second_iteration_still_consistent(pair):
     """The consistency must survive state round-trips (par scatter/gather,
     sigma update, reference averaging)."""

@@ -84,13 +84,22 @@ class Para:
     n_halves: int = 2  # golden-standard hemisphere replicas (mesh "half" axis)
     seed: int = 0
     image_batch: int = 0  # 0 = all images in one device batch
+    # particle-filter phases per device dispatch (0 = auto: min_phase + 1).
+    # Bounds single-dispatch runtime; state stays device-resident between
+    # blocks and finished chunks exit their while_loop immediately
+    phase_block: int = 0
     # "auto": fused Pallas/MXU likelihood on TPU, XLA path elsewhere;
     # "on"/"off" force; "interpret" runs the Pallas kernel interpreted
     # (CPU testing)
     fused_kernels: str = "auto"
     # bfloat16 projection brick tables: halves the per-index gather cost of
     # the E-step's dominant op (interp dots still accumulate f32);
-    # reconstruction accumulators are unaffected
+    # reconstruction accumulators are unaffected. CAVEAT: bf16 quantization
+    # of the reference table can flip BORDERLINE pose draws / class
+    # assignments (a resampling tie breaking the other way), so individual
+    # particle draws are not bitwise-reproducible against f32-table runs;
+    # posterior distributions agree statistically (tests/test_engine.py).
+    # Classification jobs (k > 1) at fine margins may prefer f32 tables.
     table_bf16: bool = True
     # per-stage finite checks (the reference's CHECK_NAN macros,
     # include/Config.h — compiled out by default there too); costs a host

@@ -17,10 +17,11 @@ Per iteration (Optimiser::run src/Optimiser.cpp:3561-4075):
   no collectives,
 - M-step statistics: ``engine.residual_stats`` (sigma / scale / norm sums,
   psum over all shards = the reference's slave-communicator allreduce),
-- reconstruction: ``engine.insert_reduce`` (gridding insert + psum over
-  the data axis = the hemisphere volume allreduce), then per-class
-  Wiener-FSC reconstruction, golden-standard FSC and hemisphere averaging
-  on replicated volumes (Model::compareTwoHemispheres, src/Model.cpp:307).
+- reconstruction: ``engine.insert_fold_reduce`` (gridding insert, fold to
+  (F, T) voxel arrays + psum over the data axis = the hemisphere volume
+  allreduce), then per-class Wiener-FSC reconstruction, golden-standard
+  FSC and hemisphere averaging on replicated volumes
+  (Model::compareTwoHemispheres, src/Model.cpp:307).
 """
 
 import dataclasses
@@ -642,14 +643,6 @@ class Optimiser:
 
     # ------------------------------------------------------------ expectation
 
-    def expectation(self):
-        """E-step: global scan (phase A, GLOBAL search only) seeding the
-        particle filter, then the phase-B local refinement. Returns the
-        average translation posterior stddevs for the ladder."""
-        if self.ladder.search_type == SEARCH_TYPE_GLOBAL:
-            self.global_scan()
-        return self.local_search()
-
     def global_scan(self):
         """Phase A: dense pose scan for every image against its
         hemisphere's class references (src/Optimiser.cpp:633-1136)."""
@@ -688,9 +681,10 @@ class Optimiser:
         # host round-trip between scan, local search, insert and stats
         # (VERDICT r2 weak #4); the filter's defocus dim persists across
         # scans
-        st["d"] = jnp.asarray(self.par["d"])
-        st["topD"] = jnp.asarray(self.par["topD"])
-        st["sD"] = jnp.asarray(self.par["sD"])
+        plane = engine.plane_sharding(self.mesh)
+        st["d"] = jax.device_put(jnp.asarray(self.par["d"]), plane)
+        st["topD"] = jax.device_put(jnp.asarray(self.par["topD"]), plane)
+        st["sD"] = jax.device_put(jnp.asarray(self.par["sD"]), plane)
         self.par = st
 
     def local_search(self):
@@ -714,17 +708,53 @@ class Optimiser:
         state = {k: jnp.asarray(v) for k, v in self.par.items()}
         keys = self._iter_keys(salt=2)
         cp = engine.pack_ctf(self.ctf_params)
-        st = engine.local_search(
-            self.mesh, bricks, col, row, pmask, dat, c, sig_rcp, state,
-            keys, cp, self._sym_quats(),
-            jnp.asarray(para.perturb_factor_l, real_dtype),
-            jnp.asarray(perturb_s, real_dtype),
-            jnp.asarray(para.perturb_factor_s_ctf, real_dtype),
-            mode=para.mode, pf=para.pf, n=self.n,
-            pixel_size=para.pixel_size, ctf_search=ctf_search,
-            min_phase=min_phase, chunk=self._chunk(),
-        )
-        self.phase_counts = st.pop("_nph")  # (2, S), device-resident
+        # loop registers carried across phase blocks (engine.local_search)
+        s2 = state["k1"].shape
+        state["_done"] = jnp.zeros(s2, bool)
+        state["_noDec"] = jnp.zeros(s2, jnp.int32)
+        state["_nph"] = jnp.zeros(s2, jnp.int32)
+        # commit the whole state to the plane sharding up front: fresh
+        # host arrays (the loop registers above, or a numpy state on the
+        # first iteration) otherwise give the first block a different
+        # input-sharding signature than steady state, forcing a ~40 s
+        # retrace + relower of the block program on EVERY call
+        state = jax.device_put(state, engine.plane_sharding(self.mesh))
+        max_phase = particle.MAX_N_PHASE_PER_ITER
+        # host-driven phase blocks: every dispatch is bounded (a single
+        # dispatch spanning up to 100 phases ran for minutes on-chip and
+        # tripped the remote runtime's execution watchdog — the r3 bench
+        # fault); the earliest possible termination is min_phase + 1
+        # phases, so the first block costs no extra dispatch
+        block = para.phase_block or (min_phase + 1)
+        phase = 0
+        block_t0 = __import__("time").perf_counter()
+        while phase < max_phase:
+            state = engine.local_search(
+                self.mesh, bricks, col, row, pmask, dat, c, sig_rcp, state,
+                keys, cp, self._sym_quats(),
+                jnp.asarray(para.perturb_factor_l, real_dtype),
+                jnp.asarray(perturb_s, real_dtype),
+                jnp.asarray(para.perturb_factor_s_ctf, real_dtype),
+                jnp.asarray(phase, jnp.int32),
+                mode=para.mode, pf=para.pf, n=self.n,
+                pixel_size=para.pixel_size, ctf_search=ctf_search,
+                min_phase=min_phase, chunk=self._chunk(), n_phases=block,
+            )
+            phase += block
+            all_done = bool(jnp.all(state["_done"]))  # host sync per block
+            now = __import__("time").perf_counter()
+            self.log.debug("local_search block -> phase %d: %.2fs "
+                           "(all_done=%s)", phase, now - block_t0, all_done)
+            block_t0 = now
+            if all_done:
+                break
+        st = state
+        done = st.pop("_done")
+        st.pop("_noDec")
+        nph = st.pop("_nph")
+        # images never done ran to the host loop's end (reference logs
+        # nPhase heartbeats, src/Optimiser.cpp:1618-1627)
+        self.phase_counts = jnp.where(done, nph, min(phase, max_phase))
         self.par = st  # device-resident
         self.scores = particle.compress_r(
             {k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()}
@@ -993,10 +1023,11 @@ class Optimiser:
         self.mask_vol = np.asarray(vol, np.float32)
 
     def reconstruct(self, r_u=None, join_half=False, avg=True, final=False):
-        """Sharded gridding insert (engine.insert_reduce: per-class brick
-        accumulators psum'd over the data axis), then per-half Wiener-FSC
-        reconstruction, golden-standard FSC and hemisphere low-band
-        averaging (Model::compareTwoHemispheres, src/Model.cpp:307-850).
+        """Sharded gridding insert (engine.insert_fold_reduce: per-class
+        brick accumulators folded to (F, T) voxel arrays and psum'd over
+        the data axis), then per-half Wiener-FSC reconstruction,
+        golden-standard FSC and hemisphere low-band averaging
+        (Model::compareTwoHemispheres, src/Model.cpp:307-850).
 
         ``avg=False`` skips the hemisphere averaging (the final round keeps
         the halves independent, src/Optimiser.cpp:4124-4130); ``final``

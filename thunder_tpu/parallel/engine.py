@@ -229,24 +229,36 @@ def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
 # ------------------------------------------------------------ local search
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "pixel_size",
-                                   "ctf_search", "min_phase", "chunk"))
+                                   "ctf_search", "min_phase", "chunk",
+                                   "n_phases"))
 def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
-                 keys, cp, sym_quats, factor_l, factor_s, factor_d,
-                 *, mode, pf, n, pixel_size, ctf_search, min_phase, chunk):
-    """Phase B: the particle-filter local refinement, fully device-resident
-    (src/Optimiser.cpp:1138-1660). Each image chunk runs a masked
-    ``lax.while_loop`` over phases with the reference's termination rule —
-    one dispatch covers the whole E-step refinement, no host sync per phase.
+                 keys, cp, sym_quats, factor_l, factor_s, factor_d, phase0,
+                 *, mode, pf, n, pixel_size, ctf_search, min_phase, chunk,
+                 n_phases):
+    """Phase B: a BLOCK of ``n_phases`` particle-filter refinement phases,
+    device-resident (src/Optimiser.cpp:1138-1660). Each image chunk runs a
+    masked ``lax.while_loop`` with the reference's termination rule.
 
-    state: particle pytree (2, S, ...); keys: (2, S, 2) per-image base keys;
-    cp: (2, S, 7) packed CTF params (pack_ctf); sym_quats: (G, 4) without
-    identity. Returns the updated state.
+    The host drives the outer phase loop in blocks
+    (Optimiser.local_search): one unbounded dispatch covering up to
+    MAX_N_PHASE_PER_ITER (=100) phases could run for many minutes on the
+    chip, which is both un-interruptible and beyond remote-runtime
+    execution watchdogs (the r3 bench fault); a block keeps every dispatch
+    bounded while the state stays on device between blocks. Chunks whose
+    images are all done exit the while_loop immediately, so finished work
+    costs nothing in later blocks.
+
+    state: particle pytree (2, S, ...) carrying the loop registers
+    ``_done`` (2, S) bool, ``_noDec``/``_nph`` (2, S) int32 across blocks;
+    keys: (2, S, 2) per-image base keys; cp: (2, S, 7) packed CTF params
+    (pack_ctf); sym_quats: (G, 4) without identity; phase0: scalar int32,
+    first phase index of this block. Returns the updated state.
     """
     lh = 2 // mesh.shape[HALF_AXIS]
     max_phase = particle.MAX_N_PHASE_PER_ITER
 
     def local(bricks, col, row, pmask, dat, ctf, sig_rcp, state, keys,
-              cp, sym_quats, factor_l, factor_s, factor_d):
+              cp, sym_quats, factor_l, factor_s, factor_d, phase0):
         # everything phase_fn touches is a shard-local value from this scope
         def phase_fn(phase, st, d_px, c_px, s_px, cpv, active, keys_c,
                      flat_tab, mc):
@@ -328,11 +340,14 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
             st_h = jax.tree.map(lambda x: x[h], state)
 
             def chunk_fn(args, flat_tab=flat, mc_=mc):
-                st0, d, c, s, ky, cpv = args
+                st_all, d, c, s, ky, cpv = args
+                st0 = {k: v for k, v in st_all.items()
+                       if k not in ("_done", "_noDec", "_nph")}
+                phase_end = jnp.minimum(phase0 + n_phases, max_phase)
 
                 def cond(carry):
                     phase, _, _, done, _ = carry
-                    return (phase < max_phase) & ~jnp.all(done)
+                    return (phase < phase_end) & ~jnp.all(done)
 
                 def body(carry):
                     phase, st, no_dec, done, nph = carry
@@ -349,14 +364,13 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                     nph = jnp.where(new_done & ~done, phase + 1, nph)
                     return phase + 1, st2, no_dec, new_done, nph
 
-                b = d.shape[0]
-                ph_f, st_f, _, _, nph = jax.lax.while_loop(
+                _, st_f, no_dec, done, nph = jax.lax.while_loop(
                     cond, body,
-                    (jnp.zeros((), jnp.int32), st0,
-                     jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
-                     jnp.zeros((b,), jnp.int32)),
+                    (phase0, st0, st_all["_noDec"], st_all["_done"],
+                     st_all["_nph"]),
                 )
-                return {**st_f, "_nph": jnp.where(nph == 0, ph_f, nph)}
+                return {**st_f, "_done": done, "_noDec": no_dec,
+                        "_nph": nph}
 
             st = jax.lax.map(chunk_fn, (
                 jax.tree.map(lambda x: _chunked(x, chunk), st_h),
@@ -371,11 +385,11 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
         local,
         mesh=mesh,
         in_specs=(P(HALF_AXIS),) + (P(),) * 3
-        + (P(HALF_AXIS, DATA_AXIS),) * 6 + (P(),) * 4,
+        + (P(HALF_AXIS, DATA_AXIS),) * 6 + (P(),) * 5,
         out_specs=P(HALF_AXIS, DATA_AXIS),
         check_vma=False,
     )(bricks, col, row, pmask, dat, ctf, sig_rcp, state, keys, cp,
-      sym_quats, factor_l, factor_s, factor_d)
+      sym_quats, factor_l, factor_s, factor_d, phase0)
 
 
 # --------------------------------------------------------- gridding insert
@@ -406,7 +420,7 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
     (K mc^d + 1, width) table is ever live and only the 3-channel folded
     (F, T) crosses the collective — the 24-wide table psum + a host-side
     restack OOM'd the 16 GB chip at the Nyquist band (mc=317).
-    sym_quats: (G, 3, 3) rotation matrices, may be empty; k_classes must
+    sym_rots: (G, 3, 3) rotation matrices, may be empty; k_classes must
     be 1 (the optimiser stages classes sequentially).
 
     Returns (f (2, mc^d..) complex64, t (2, mc^d..) f32, offsets (2, K, 4))
