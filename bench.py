@@ -133,6 +133,28 @@ def main():
         if ref:
             vs_baseline = round(particles_per_sec / ref, 2)
 
+    # ---- dense-FLOP model of the timed round (E-step + insert only: a
+    # LOWER bound — reconstruction FFTs / C-balance are excluded). The
+    # workload is gather-bound, so also report the effective per-index
+    # gather cost, the honest utilization gauge for this op mix.
+    from thunder_tpu.ops import pixels as _px
+
+    ring = _px.pixel_ring(n, opt.r_low, 40)
+    p_bucket = len(ring.col)
+    mean_phases = rec["n_phase"][0]
+    r_sup, t_sup = para.m_l_r, para.m_l_t
+    # per image-phase: trilinear gather-interp (8 corners x 4 flops x
+    # re/im) + |proj|^2 + term2 + translation ramp + term1 matmuls
+    f_phase = r_sup * p_bucket * (64 + 5) + 4 * r_sup * t_sup * p_bucket
+    # insert: m_reco draws x one width-24 scatter row + phase ramp per px
+    f_insert = para.m_reco * p_bucket * (8 * 8 + 16)
+    flops = b * (mean_phases * f_phase + f_insert)
+    v5e_bf16_peak = 197e12
+    mfu_pct = 100.0 * flops / dt / v5e_bf16_peak
+    # gather indices issued per round (E-step projections + insert rows)
+    n_idx = b * (mean_phases * r_sup * p_bucket + para.m_reco * p_bucket)
+    eff_ns_per_idx = dt / n_idx * 1e9
+
     print(
         json.dumps(
             {
@@ -144,6 +166,14 @@ def main():
                 "value": round(particles_per_sec, 2),
                 "unit": "particles/s",
                 "vs_baseline": vs_baseline,
+                "mfu_pct": round(mfu_pct, 3),
+                "mfu_note": "dense-FLOP lower bound (E-step+insert) vs "
+                            "197 TFLOP/s bf16 peak; workload is "
+                            "gather-bound by design",
+                "gather_eff_ns_per_idx": round(eff_ns_per_idx, 2),
+                "mean_phases": round(mean_phases, 2),
+                "stage_seconds": {k: round(v, 2)
+                                  for k, v in rec["timing"].items()},
             }
         )
     )

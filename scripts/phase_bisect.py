@@ -60,8 +60,10 @@ def main():
         "topR": jnp.asarray(q0.astype(np.float32)),
         "topT": jnp.zeros((b, 2), jnp.float32),
     }
-    dat = jnp.asarray((rng.normal(size=(b, P)) + 1j * rng.normal(size=(b, P))
-                       ).astype(np.complex64))
+    # axon cannot transfer complex64 host<->device: combine on device
+    mk_c = jax.jit(jax.lax.complex)
+    dat = mk_c(jnp.asarray(rng.normal(size=(b, P)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=(b, P)).astype(np.float32)))
     ctf = jnp.asarray(rng.normal(size=(b, P)).astype(np.float32))
     sig = jnp.asarray(np.abs(rng.normal(size=(b, P))).astype(np.float32) + 0.5)
     fr = np.arange(n) - n // 2
@@ -74,52 +76,50 @@ def main():
     sym_quats = jnp.zeros((0, 4), jnp.float32)
     cls = jnp.zeros((b,), jnp.int32)
 
-    def perturb(phase, st):
-        kph = jax.vmap(jax.random.fold_in)(
-            keys_c, jnp.full((b,), phase, jnp.uint32))
-        subs = jax.vmap(lambda k: jax.random.split(k, 7))(kph)
-        r_new = particle.perturb_r(subs[:, 0], st["r"], st["k1"], st["k2"],
-                                   st["k3"], 0.4, sym_quats=sym_quats)
-        t_new = particle.perturb_t(subs[:, 1], st["t"], st["s0"], st["s1"],
-                                   0.4)
-        return {**st, "r": r_new, "t": t_new}, subs
-
-    def gather(st):
-        rots = quat.rotate3d(st["r"])
-        coords = projector.slice_coords_3d(rots, col, row, pf=2)
-        return _fused_class_gather(flat, coords, cls, mc, "3d")
-
-    def likeli(st, proj):
-        tra = translation_phase(col, row, st["t"][..., 0], st["t"][..., 1], n)
-        return likelihood.local_search_weights(
-            dat, ctf, sig, proj, tra, st["wR"], st["wT"], None)
-
-    def update(st, subs, u_r, u_t, u_d):
-        return particle.update_from_likelihood(
-            st, subs[:, 3:7], u_r, u_t, u_d, with_d=False,
-            sym_quats=sym_quats, mode="3d")
-
-    stages = {}
+    env = dict(flat=flat, dat=dat, ctf=ctf, sig=sig, col=col, row=row,
+               keys_c=keys_c, sym_quats=sym_quats, cls=cls)
 
     def mk(level):
-        def body(phase, carry):
-            st = carry
-            st2, subs = perturb(phase, st)
-            if level == 0:
-                return {**st2, "s0": st2["s0"] + 0e-9}
-            proj = gather(st2)
-            if level == 1:
-                # fold a scalar of proj back in so it isn't DCE'd
-                return {**st2,
-                        "s0": st2["s0"] + 1e-30 * jnp.abs(proj[:, 0, 0])}
-            u_r, u_t, u_d = likeli(st2, proj)
-            if level == 2:
-                return {**st2, "s0": st2["s0"] + 1e-30 * u_r[:, 0]}
-            return update(st2, subs, u_r, u_t, u_d)
+        def body_fn(e):
+            def perturb(phase, st):
+                kph = jax.vmap(jax.random.fold_in)(
+                    e["keys_c"], jnp.full((b,), phase, jnp.uint32))
+                subs = jax.vmap(lambda k: jax.random.split(k, 7))(kph)
+                r_new = particle.perturb_r(
+                    subs[:, 0], st["r"], st["k1"], st["k2"], st["k3"], 0.4,
+                    sym_quats=e["sym_quats"])
+                t_new = particle.perturb_t(subs[:, 1], st["t"], st["s0"],
+                                           st["s1"], 0.4)
+                return {**st, "r": r_new, "t": t_new}, subs
+
+            def body(phase, st):
+                st2, subs = perturb(phase, st)
+                if level == 0:
+                    return st2
+                rots = quat.rotate3d(st2["r"])
+                coords = projector.slice_coords_3d(rots, e["col"], e["row"],
+                                                   pf=2)
+                proj = _fused_class_gather(e["flat"], coords, e["cls"], mc,
+                                           "3d")
+                if level == 1:
+                    # fold a scalar of proj back in so it isn't DCE'd
+                    return {**st2,
+                            "s0": st2["s0"] + 1e-30 * jnp.abs(proj[:, 0, 0])}
+                tra = translation_phase(e["col"], e["row"],
+                                        st2["t"][..., 0], st2["t"][..., 1], n)
+                u_r, u_t, u_d = likelihood.local_search_weights(
+                    e["dat"], e["ctf"], e["sig"], proj, tra, st2["wR"],
+                    st2["wT"], None)
+                if level == 2:
+                    return {**st2, "s0": st2["s0"] + 1e-30 * u_r[:, 0]}
+                return particle.update_from_likelihood(
+                    st2, subs[:, 3:7], u_r, u_t, u_d, with_d=False,
+                    sym_quats=e["sym_quats"], mode="3d")
+            return body
 
         @jax.jit
-        def run(st):
-            out = jax.lax.fori_loop(0, args.reps, body, st)
+        def run(st, e):
+            out = jax.lax.fori_loop(0, args.reps, body_fn(e), st)
             return jnp.sum(out["s0"])  # scalar: forces a real remote sync
 
         return run
@@ -128,11 +128,11 @@ def main():
     prev = 0.0
     for lvl in range(4):
         f = mk(lvl)
-        float(f(st))  # compile + warm (float() = true sync on axon)
+        float(f(st, env))  # compile + warm (float() = true sync on axon)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(st))
+            float(f(st, env))
             ts.append(time.perf_counter() - t0)
         t = min(ts) / args.reps
         print(f"[bisect] {names[lvl]:<12} {t * 1e3:8.1f} ms/phase "

@@ -52,18 +52,25 @@ def stage_pallas():
 
     rng = np.random.default_rng(0)
     b, p, k, r, t = 64, 2048, 1, 128, 16
-    dat = jnp.asarray((rng.normal(size=(b, p))
-                       + 1j * rng.normal(size=(b, p))).astype(np.complex64))
+    # axon cannot transfer complex64 host<->device: combine on device
+    mk_c = jax.jit(jax.lax.complex)
+
+    def c64(*shape):
+        return mk_c(jnp.asarray(rng.normal(size=shape).astype(np.float32)),
+                    jnp.asarray(rng.normal(size=shape).astype(np.float32)))
+
+    dat = c64(b, p)
     ctf = jnp.asarray(rng.normal(size=(b, p)).astype(np.float32))
-    sig = jnp.asarray(
-        np.abs(rng.normal(size=(b, p))).astype(np.float32) + 0.5)
-    proj = jnp.asarray((rng.normal(size=(k, r, p))
-                        + 1j * rng.normal(size=(k, r, p))
-                        ).astype(np.complex64))
-    tra = jnp.asarray((rng.normal(size=(t, p))
-                       + 1j * rng.normal(size=(t, p))).astype(np.complex64))
-    out_f = likelihood.global_search_weights_fused(dat, ctf, sig, proj, tra)
-    out_x = likelihood.global_search_weights(dat, ctf, sig, proj, tra)
+    # sig_rcp = -0.5/sigma with sigma ~ p keeps logL spreads O(10): with
+    # degenerate posteriors any bf16 matmul noise is exponentiated and the
+    # comparison is meaningless
+    sig_rcp = -0.5 / jnp.asarray(
+        p * (np.abs(rng.normal(size=(b, p))).astype(np.float32) + 0.5))
+    proj = c64(k, r, p)
+    tra = c64(t, p)
+    out_f = likelihood.global_search_weights_fused(dat, ctf, sig_rcp, proj,
+                                                   tra)
+    out_x = likelihood.global_search_weights(dat, ctf, sig_rcp, proj, tra)
     for key in ("wC", "wR", "wT"):
         a = np.asarray(out_f[key], np.float64)
         bx = np.asarray(out_x[key], np.float64)
@@ -109,7 +116,7 @@ def _small_opt():
     sl = projector.project_full_3d(vf, rots, n, n // 2 - 1, pf=2)
     tr = rng.normal(0, 1.0, (b, 2)).astype(np.float32)
     sl = translate_ft(sl, jnp.asarray(tr[:, 0]), jnp.asarray(tr[:, 1]))
-    stack = np.asarray(fft_ops.ifft2_center(sl).real, np.float32)
+    stack = np.array(np.asarray(fft_ops.ifft2_center(sl).real), np.float32)
     stack += rng.normal(0, 0.5 * stack.std(), stack.shape).astype(np.float32)
     cp = {kk: v.astype(np.float32) for kk, v in dict(
         voltage=np.full(b, 300e3), defocus_u=np.full(b, 1.4e4),

@@ -53,11 +53,11 @@ def _write_dataset(workdir):
     return vol
 
 
-def test_two_process_run_matches_single_process(tmp_path):
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device CPU mesh from conftest")
-    workdir = str(tmp_path)
-    vol = _write_dataset(workdir)
+def _run_cluster_and_compare(workdir, n_procs, rounds, port):
+    """Single-process (8-device) reference run vs an n_procs-process
+    cluster over the SAME dataset path, ``rounds`` full iterations each
+    (2 rounds covers reconstruct-with-averaging, norm correction and the
+    second-round state round-trip)."""
     para = _para()
     with open(os.path.join(workdir, "para.json"), "w") as f:
         json.dump(dataclasses_asdict(para), f)
@@ -73,37 +73,64 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     opt.init_reference(read_mrc(os.path.join(workdir, "init.mrc")))
     opt.init_sigma()
-    rec = opt.run_iteration()
-    opt.save_outputs()
+    rec = None
+    for _ in range(rounds):
+        rec = opt.run_iteration()
+        opt.save_outputs()
 
-    # ---- 2-process x 4-device run ----
+    # ---- n_procs-process run ----
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    port = "12437"
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), workdir, port],
+        [sys.executable, worker, str(i), workdir, port, str(n_procs),
+         str(rounds)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
-        for i in range(2)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for i in range(n_procs)]
+    outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-4000:]}"
 
-    # host 0 wrote the outputs; host 1 wrote nothing
+    # host 0 wrote the per-round outputs; other hosts wrote nothing (the
+    # workers assert their private dirs stayed empty)
     out_mp = os.path.join(workdir, "out_mp")
-    assert os.path.exists(os.path.join(out_mp, "Meta_Round_001.thu"))
+    for r in range(1, rounds + 1):
+        assert os.path.exists(
+            os.path.join(out_mp, f"Meta_Round_{r:03d}.thu"))
+        assert os.path.exists(
+            os.path.join(out_mp, f"Reference_000_A_Round_{r:03d}.mrc"))
     res = np.load(os.path.join(workdir, "mp_result.npz"))
 
     # per-image results are keyed by global image index -> process-count
-    # independent (float-accumulation noise only)
-    np.testing.assert_allclose(res["top_r"], opt.best_quat, atol=2e-4)
-    np.testing.assert_allclose(res["top_t"], opt.best_trans, atol=2e-4)
-    np.testing.assert_allclose(res["fsc"], opt.fsc, atol=2e-3)
-    np.testing.assert_allclose(res["sig"], np.asarray(opt.sig), rtol=1e-3)
+    # independent (float-accumulation noise only; tolerances widen a bit
+    # after a second round's reductions)
+    tol = 2e-4 if rounds == 1 else 2e-3
+    np.testing.assert_allclose(res["top_r"], opt.best_quat, atol=tol)
+    np.testing.assert_allclose(res["top_t"], opt.best_trans, atol=tol)
+    np.testing.assert_allclose(res["fsc"], opt.fsc, atol=5e-3)
+    np.testing.assert_allclose(res["sig"], np.asarray(opt.sig), rtol=2e-3)
     np.testing.assert_allclose(
-        res["refs"], np.asarray(opt.refs), rtol=1e-3,
-        atol=1e-4 * float(np.abs(np.asarray(opt.refs)).max()))
+        res["refs"], np.asarray(opt.refs), rtol=2e-3,
+        atol=2e-4 * float(np.abs(np.asarray(opt.refs)).max()))
     assert int(res["res_shell"]) == rec["res_shell"]
+
+
+def test_two_process_two_rounds_matches_single_process(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    workdir = str(tmp_path)
+    _write_dataset(workdir)
+    _run_cluster_and_compare(workdir, n_procs=2, rounds=2, port="12437")
+
+
+def test_four_process_run_matches_single_process(tmp_path):
+    """4 processes x 2 local devices — the deeper host split must agree
+    too (per-host shard loading with 2 rows per host)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    workdir = str(tmp_path)
+    _write_dataset(workdir)
+    _run_cluster_and_compare(workdir, n_procs=4, rounds=1, port="12439")
 
 
 def dataclasses_asdict(para):

@@ -84,6 +84,11 @@ class Para:
     n_halves: int = 2  # golden-standard hemisphere replicas (mesh "half" axis)
     seed: int = 0
     image_batch: int = 0  # 0 = all images in one device batch
+    # MKB gridding-kernel insertion (the reference's compile-time
+    # RECONSTRUCTOR_MKB_KERNEL, include/Config.h:95; its shipped default is
+    # trilinear, Config.h:97). 3D only; the insert costs ~8x the trilinear
+    # one (8 brick-row scatters over the blob support)
+    mkb_kernel: bool = False
     # particle-filter phases per device dispatch (0 = auto: min_phase + 1).
     # Bounds single-dispatch runtime; state stays device-resident between
     # blocks and finished chunks exit their while_loop immediately

@@ -636,6 +636,15 @@ class Optimiser:
             return "on" if jax.default_backend() not in ("cpu",) else "off"
         return f
 
+    def _insert_kernel(self):
+        """Gridding insertion kernel: trilinear (the reference's shipped
+        compile-time choice, include/Config.h:97) or the MKB blob
+        (RECONSTRUCTOR_MKB_KERNEL, include/Config.h:95) behind the
+        ``mkb_kernel`` config boolean. 3D only — the MKB branch of the
+        reference is a 3D insert path."""
+        return ("mkb" if (self.para.mkb_kernel and self.para.mode == "3d")
+                else "trilinear")
+
     def _sym_quats(self):
         if self.para.mode == "2d" or not self.sym.n_elements:
             return jnp.zeros((0, 4), real_dtype)
@@ -1084,6 +1093,7 @@ class Optimiser:
                 w_k, jnp.asarray(self.offsets), sym_rots,
                 mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
                 mc=mc, n_draw=n_draw, chunk=self._chunk(),
+                insert_kernel=self._insert_kernel(), alpha=para.alpha,
             )
             offs_all.append(host_np(offs_k)[:, 0])
             prev_fsc = getattr(self, "fsc", None)
@@ -1092,6 +1102,7 @@ class Optimiser:
             vols2 = engine.reconstruct_halves(
                 self.mesh, f_ht, t_ht, fsc_k, mode=para.mode,
                 pf=para.pf, n=self.n, r_u=r_u, join_half=join_half,
+                insert_kernel=self._insert_kernel(),
             )
             vols2 = jax.device_put(vols2, engine.replicated(self.mesh))
             vols = [vols2[0], vols2[1]]

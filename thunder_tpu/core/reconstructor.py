@@ -245,7 +245,8 @@ def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2, z_chunk=16):
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "max_radius", "grid_corr",
-                                   "map_wiener", "join_half", "dims"))
+                                   "map_wiener", "join_half", "dims",
+                                   "insert_kernel"))
 def reconstruct_cropped(
     f,
     t,
@@ -259,12 +260,18 @@ def reconstruct_cropped(
     blob_a=DEFAULT_BLOB_A,
     blob_alpha=DEFAULT_BLOB_ALPHA,
     dims=3,
+    insert_kernel="trilinear",
 ):
     """reconstruct() on band-cropped (F, T): the C-balance iteration runs on
     the small mc grid (the MKB kernel's Fourier support is ~2 voxels, so the
     cropped circular convolution is exact to the margin in ops.brick), then
     the filtered spectrum is zero-embedded into the full padded grid for the
-    final inverse FFT. Returns the real n-box map."""
+    final inverse FFT. Returns the real n-box map.
+
+    insert_kernel selects the gridding-correction divisor to match the
+    insertion kernel: "trilinear" -> TIK_RL (sinc^2), "mkb" -> MKB_RL
+    (the reference's RECONSTRUCTOR_MKB_KERNEL vs _TRILINEAR_KERNEL branch,
+    include/Config.h:95-97, src/Projector.cpp gridCorrection)."""
     if max_radius is None:
         max_radius = size // 2 - 2
     mc = f.shape[-1]
@@ -339,6 +346,13 @@ def reconstruct_cropped(
         s[ax] = size
         grids.append(idx.reshape(s))
     r_rl = jnp.sqrt(sum(g**2 for g in grids)) / (pf * size)
+    if insert_kernel == "mkb":
+        # the insert deposits MKB_FT(d) with d in PADDED-grid units and
+        # a = blob_a (brick.mkb_rows3), so the real-space envelope at
+        # fractional radius r_rl = x / (pf n) is mkb_rl(r_rl, blob_a, .)
+        # — NOT blob_a*pf (verified by the roundtrip FSC oracle)
+        nf0 = mkb_rl(jnp.zeros(()), blob_a, blob_alpha)
+        return out / (mkb_rl(r_rl, blob_a, blob_alpha) / nf0)
     return out / tik_rl(r_rl)
 
 

@@ -161,6 +161,66 @@ def gather_real3(tab, coords):
     return jnp.where(valid[..., None], out, 0.0)
 
 
+def mkb_rows3(coords, mc, a=1.9, alpha=15.0):
+    """MKB gridding-kernel insertion support, decomposed into brick rows.
+
+    The reference's RECONSTRUCTOR_MKB_KERNEL option deposits each sample
+    over the grid points within radius ``a`` (= 1.9 padded voxels) of the
+    sample, weighted by the blob's Fourier profile MKB_FT
+    (include/Config.h:95, src/Reconstructor.cpp:452-556). The 4^3 voxel
+    neighbourhood [floor(u)-1, floor(u)+2] covers that support and tiles
+    EXACTLY into 8 brick rows (rows at floor(u)-1 + {0,2}^3, each holding
+    its 2^3 corners), so the MKB insert is 8 row-scatters of the same
+    shape as the trilinear one.
+
+    Returns a list of 8 (idx, w8, valid) tuples like _corners3 (invalid
+    rows must be redirected to the drop slot by the caller)."""
+    from . import kernels
+
+    base = jnp.floor(coords)
+    frac = (coords - base).astype(jnp.float32)
+    b0 = base.astype(jnp.int32) + mc // 2 - 1  # neighbourhood start voxel
+    out = []
+    for dz in (0, 2):
+        for dy in (0, 2):
+            for dx in (0, 2):
+                off = jnp.asarray([dz, dy, dx], jnp.int32)
+                bi = b0 + off
+                idx = (bi[..., 0] * mc + bi[..., 1]) * mc + bi[..., 2]
+                valid = jnp.all((bi >= 0) & (bi < mc - 1), axis=-1)
+                # corner c of this row sits at delta = off + c - 1 - frac
+                w_c = []
+                for cz in (0, 1):
+                    for cy in (0, 1):
+                        for cx in (0, 1):
+                            d = jnp.stack([
+                                dz + cz - 1.0 - frac[..., 0],
+                                dy + cy - 1.0 - frac[..., 1],
+                                dx + cx - 1.0 - frac[..., 2],
+                            ], -1)
+                            r = jnp.sqrt(jnp.sum(d * d, -1))
+                            w_c.append(kernels.mkb_ft(r, a, alpha))
+                w8 = jnp.stack(w_c, -1)
+                out.append((idx, w8, valid))
+    return out
+
+
+def insert3_mkb(tab, coords, fv, tv, w=None, a=1.9, alpha=15.0):
+    """MKB-kernel gridding insert: 8 width-24 row-adds per sample
+    (src/Reconstructor.cpp:452-556 MKB branch). Same signature as
+    :func:`insert3`."""
+    mc = round((tab.shape[0] - 1) ** (1 / 3))
+    for idx, w8, valid in mkb_rows3(coords, mc, a=a, alpha=alpha):
+        idx = jnp.where(valid, idx, mc**3)
+        if w is not None:
+            w8 = w8 * w[..., None]
+        contrib = jnp.concatenate(
+            [fv.real[..., None] * w8, fv.imag[..., None] * w8,
+             tv[..., None] * w8], -1)
+        tab = tab.at[idx.reshape(-1)].add(contrib.reshape(-1, 24))
+    return tab
+
+
 def empty_insert3(mc):
     """Flat insert accumulator with a trailing drop row."""
     return jnp.zeros((mc**3 + 1, 24), jnp.float32)

@@ -148,23 +148,31 @@ def _fused_class_gather(flat, coords, cls, mc, mode):
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 
-def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode):
+def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode,
+                        kernel="trilinear", alpha=15.0):
     """Scatter pose-weighted pixels into the class-fused brick accumulator
-    ((K * mc^d + 1, width) rows; last row is the drop slot). cls: (B,)."""
+    ((K * mc^d + 1, width) rows; last row is the drop slot). cls: (B,).
+    kernel: "trilinear" (one row-add/sample) or "mkb" (3D only; 8
+    row-adds/sample over the blob support, src/Reconstructor.cpp:452-556)."""
     if mode == "2d":
-        idx, w_c, valid = brick._corners2(coords, mc)
+        rows = [brick._corners2(coords, mc)]
         n_vox = mc**2
+    elif kernel == "mkb":
+        rows = brick.mkb_rows3(coords, mc, alpha=alpha)
+        n_vox = mc**3
     else:
-        idx, w_c, valid = brick._corners3(coords, mc)
+        rows = [brick._corners3(coords, mc)]
         n_vox = mc**3
     k_cls = (tab.shape[0] - 1) // n_vox
-    idx = idx + (cls * n_vox).reshape((-1,) + (1,) * (idx.ndim - 1))
-    idx = jnp.where(valid, idx, k_cls * n_vox)
-    contrib = jnp.concatenate(
-        [fv.real[..., None] * w_c, fv.imag[..., None] * w_c,
-         tv[..., None] * w_c], -1)
-    width = contrib.shape[-1]
-    return tab.at[idx.reshape(-1)].add(contrib.reshape(-1, width))
+    for idx, w_c, valid in rows:
+        idx = idx + (cls * n_vox).reshape((-1,) + (1,) * (idx.ndim - 1))
+        idx = jnp.where(valid, idx, k_cls * n_vox)
+        contrib = jnp.concatenate(
+            [fv.real[..., None] * w_c, fv.imag[..., None] * w_c,
+             tv[..., None] * w_c], -1)
+        width = contrib.shape[-1]
+        tab = tab.at[idx.reshape(-1)].add(contrib.reshape(-1, width))
+    return tab
 
 
 # ------------------------------------------------------------- global scan
@@ -395,10 +403,12 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
 # --------------------------------------------------------- gridding insert
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
-                                   "mc", "n_draw", "chunk"))
+                                   "mc", "n_draw", "chunk", "insert_kernel",
+                                   "alpha"))
 def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                        w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
-                       mc, n_draw, chunk):
+                       mc, n_draw, chunk, insert_kernel="trilinear",
+                       alpha=15.0):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -477,7 +487,8 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                     fv = d[:, None, :] * tra * c[:, None, :] * wv
                     tv = (c[:, None, :] ** 2) * wv
                     tab = _fused_class_insert(tab, coords, cls, fv, tv, mc,
-                                              mode)
+                                              mode, kernel=insert_kernel,
+                                              alpha=alpha)
                     # per-class re-centring accumulator: dir = -rot(t-off,0)
                     if mode == "2d":
                         dirv = -jnp.einsum("bnij,bnj->bni", rots,
@@ -539,8 +550,9 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
 # ---------------------------------------------------- per-half reconstruction
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "r_u",
-                                   "join_half"))
-def reconstruct_halves(mesh, f, t, fsc, *, mode, pf, n, r_u, join_half):
+                                   "join_half", "insert_kernel"))
+def reconstruct_halves(mesh, f, t, fsc, *, mode, pf, n, r_u, join_half,
+                       insert_kernel="trilinear"):
     """Per-half Wiener/C-balance reconstruction from folded+symmetrized
     (F, T) voxel arrays (insert_fold_reduce) — each hemisphere on ITS OWN
     mesh row (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835,
@@ -558,7 +570,8 @@ def reconstruct_halves(mesh, f, t, fsc, *, mode, pf, n, r_u, join_half):
         for h in range(lh):
             vols.append(reconstructor.reconstruct_cropped(
                 f[h], t[h], fsc, n, pf=pf, max_radius=r_u,
-                join_half=join_half, dims=dims))
+                join_half=join_half, dims=dims,
+                insert_kernel=insert_kernel))
         return jnp.stack(vols)
 
     return shard_map(
