@@ -736,6 +736,8 @@ class Optimiser:
         # phases, so the first block costs no extra dispatch
         block = para.phase_block or (min_phase + 1)
         phase = 0
+        total_slots = int(s2[0]) * int(s2[1])
+        perm = None  # composed slot permutation from repacking
         block_t0 = __import__("time").perf_counter()
         while phase < max_phase:
             state = engine.local_search(
@@ -750,13 +752,35 @@ class Optimiser:
                 min_phase=min_phase, chunk=self._chunk(), n_phases=block,
             )
             phase += block
-            all_done = bool(jnp.all(state["_done"]))  # host sync per block
+            n_active = int(jnp.sum(~state["_done"]))  # host sync per block
             now = __import__("time").perf_counter()
             self.log.debug("local_search block -> phase %d: %.2fs "
-                           "(all_done=%s)", phase, now - block_t0, all_done)
+                           "(active=%d/%d)", phase, now - block_t0,
+                           n_active, total_slots)
             block_t0 = now
-            if all_done:
+            if n_active == 0:
                 break
+            if phase < max_phase and n_active < total_slots:
+                # pack still-active images into the leading chunks: fully-
+                # done chunks exit their while_loop immediately, so the
+                # straggler tail (max 26 vs mean 8 phases on the bench
+                # workload) stops paying whole-chunk gather cost. Exact:
+                # per-image results are slot-independent (engine.permute_
+                # slots); the permutation is undone after the loop.
+                order = jnp.argsort(state["_done"].astype(jnp.int32),
+                                    axis=1, stable=True)
+                if perm is None:
+                    perm = jnp.broadcast_to(
+                        jnp.arange(s2[1], dtype=jnp.int32)[None], s2)
+                perm = jnp.take_along_axis(perm, order, axis=1)
+                state, (dat, c, sig_rcp, keys, cp) = jax.device_put(
+                    engine.permute_slots(
+                        order, (state, (dat, c, sig_rcp, keys, cp))),
+                    engine.plane_sharding(self.mesh))  # keep block program
+                # input shardings stable (no retrace)
+        if perm is not None:  # undo the packing
+            inv = jnp.argsort(perm, axis=1)
+            state = engine.permute_slots(inv, state)
         st = state
         done = st.pop("_done")
         st.pop("_noDec")
@@ -1080,6 +1104,17 @@ class Optimiser:
                     if (dims == 3 and self.sym.n_elements)
                     else jnp.zeros((0, 3, 3), real_dtype))
 
+        import time as _time
+
+        reco_t = {"insert": 0.0, "wiener_fsc": 0.0, "avg": 0.0}
+        t_last = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal t_last
+            now = _time.perf_counter()
+            reco_t[name] += now - t_last
+            t_last = now
+
         new_refs, fscs, half_maps, joined, offs_all = [], [], [], [], []
         for k in range(para.k):
             w_k = w_img * (par_c == k) if para.k > 1 else w_img
@@ -1096,20 +1131,32 @@ class Optimiser:
                 insert_kernel=self._insert_kernel(), alpha=para.alpha,
             )
             offs_all.append(host_np(offs_k)[:, 0])
+            _mark("insert")  # host_np above is a real sync
             prev_fsc = getattr(self, "fsc", None)
             fsc_k = (jnp.ones((self.n // 2,)) if prev_fsc is None
                      else jnp.asarray(prev_fsc[k]))
-            vols2 = engine.reconstruct_halves(
-                self.mesh, f_ht, t_ht, fsc_k, mode=para.mode,
-                pf=para.pf, n=self.n, r_u=r_u, join_half=join_half,
-                insert_kernel=self._insert_kernel(),
+            # C-balance warm start: reuse the previous round's converged
+            # weights while the band (mc) is unchanged — identical stopping
+            # rule, far fewer of the <=30 FFT-pair iterations
+            wc = getattr(self, "_w_warm", {}).get(k)
+            warm = wc is not None and wc.shape == t_ht.shape
+            vols2, w_out = engine.reconstruct_halves(
+                self.mesh, f_ht, t_ht, fsc_k,
+                wc if warm else jnp.zeros_like(t_ht),
+                mode=para.mode, pf=para.pf, n=self.n, r_u=r_u,
+                join_half=join_half, insert_kernel=self._insert_kernel(),
+                warm=warm,
             )
+            if not hasattr(self, "_w_warm"):
+                self._w_warm = {}
+            self._w_warm[k] = w_out
             vols2 = jax.device_put(vols2, engine.replicated(self.mesh))
             vols = [vols2[0], vols2[1]]
             ft_a, ft_b = fftc(vols[0]), fftc(vols[1])
             fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
             half_maps.append([np.asarray(v) for v in vols])
+            _mark("wiener_fsc")  # np.asarray above is a real sync
             if avg:
                 # hemisphere averaging below the band where FSC >= 0.95 thr
                 band = int(spectrum.res_p(fsc_new, 0.95, r_low=1))
@@ -1130,6 +1177,8 @@ class Optimiser:
                     f_j, t_j, jnp.asarray(fscs[-1]), self.n, pf=para.pf,
                     max_radius=r_u, join_half=True, dims=dims,
                 )))
+        _mark("avg")
+        self.reco_timing = reco_t  # sub-stage seconds, merged into history
         self._update_insert_offsets(np.stack(offs_all, axis=1))  # (2, K, 4)
         self.fsc = np.stack(fscs)  # (K, shells)
         self.half_maps = half_maps
@@ -1233,6 +1282,8 @@ class Optimiser:
         if not para.skip_r:
             self.reconstruct()
             mark("reconstruction")
+            for kk, vv in getattr(self, "reco_timing", {}).items():
+                timing[f"reco_{kk}"] = round(vv, 3)
             self._check_nan("reconstruction", {"refs": self.refs,
                                                "fsc": self.fsc})
             if search_type_in == SEARCH_TYPE_GLOBAL:

@@ -246,7 +246,7 @@ def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2, z_chunk=16):
 
 @partial(jax.jit, static_argnames=("size", "pf", "max_radius", "grid_corr",
                                    "map_wiener", "join_half", "dims",
-                                   "insert_kernel"))
+                                   "insert_kernel", "return_w"))
 def reconstruct_cropped(
     f,
     t,
@@ -261,12 +261,21 @@ def reconstruct_cropped(
     blob_alpha=DEFAULT_BLOB_ALPHA,
     dims=3,
     insert_kernel="trilinear",
+    w_init=None,
+    return_w=False,
 ):
     """reconstruct() on band-cropped (F, T): the C-balance iteration runs on
     the small mc grid (the MKB kernel's Fourier support is ~2 voxels, so the
     cropped circular convolution is exact to the margin in ops.brick), then
     the filtered spectrum is zero-embedded into the full padded grid for the
-    final inverse FFT. Returns the real n-box map.
+    final inverse FFT. Returns the real n-box map (and the converged
+    C-balance weights when ``return_w``).
+
+    ``w_init`` warm-starts the C-balance iteration (e.g. with the previous
+    round's converged weights when the band is unchanged): the stopping
+    rule (|C|-1 below DIFF_C_THRES, src/Reconstructor.cpp C-balance) is
+    identical — a closer start just reaches it in fewer of the <=30
+    iterations. The reference re-iterates from uniform every round.
 
     insert_kernel selects the gridding-correction divisor to match the
     insertion kernel: "trilinear" -> TIK_RL (sinc^2), "mkb" -> MKB_RL
@@ -298,6 +307,9 @@ def reconstruct_cropped(
 
     t = jnp.maximum(t, 1e-25)
     w = jnp.where(in_rad, 1.0, 0.0).astype(real_dtype)
+    if w_init is not None:
+        w = jnp.where(in_rad, jnp.maximum(w_init, 1e-20), 0.0
+                      ).astype(real_dtype)
 
     if grid_corr:
         taper_r = jnp.sqrt(_radius_sq_grid(mc, dims)) / mc
@@ -352,8 +364,10 @@ def reconstruct_cropped(
         # fractional radius r_rl = x / (pf n) is mkb_rl(r_rl, blob_a, .)
         # — NOT blob_a*pf (verified by the roundtrip FSC oracle)
         nf0 = mkb_rl(jnp.zeros(()), blob_a, blob_alpha)
-        return out / (mkb_rl(r_rl, blob_a, blob_alpha) / nf0)
-    return out / tik_rl(r_rl)
+        out = out / (mkb_rl(r_rl, blob_a, blob_alpha) / nf0)
+    else:
+        out = out / tik_rl(r_rl)
+    return (out, w) if return_w else out
 
 
 def _radius_sq_grid(m, dims):

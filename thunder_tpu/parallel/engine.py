@@ -400,6 +400,22 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
       sym_quats, factor_l, factor_s, factor_d, phase0)
 
 
+@jax.jit
+def permute_slots(order, tree):
+    """Reorder the slot axis (axis 1 of every (2, S, ...) leaf) by
+    ``order`` (2, S). Used by the host phase-block loop to pack still-
+    active images into the leading chunks: a chunk's while_loop cost is
+    set by its slowest image, so once most images are done the stragglers
+    would otherwise keep whole chunks gathering. Per-image results are
+    slot-independent (all randomness is keyed by values carried with the
+    slot), so repacking is exact."""
+    def tk(x):
+        o = order.reshape(order.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, o.astype(jnp.int32), axis=1)
+
+    return jax.tree.map(tk, tree)
+
+
 # --------------------------------------------------------- gridding insert
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
@@ -550,37 +566,43 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
 # ---------------------------------------------------- per-half reconstruction
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "r_u",
-                                   "join_half", "insert_kernel"))
-def reconstruct_halves(mesh, f, t, fsc, *, mode, pf, n, r_u, join_half,
-                       insert_kernel="trilinear"):
+                                   "join_half", "insert_kernel", "warm"))
+def reconstruct_halves(mesh, f, t, fsc, w0, *, mode, pf, n, r_u, join_half,
+                       insert_kernel="trilinear", warm=False):
     """Per-half Wiener/C-balance reconstruction from folded+symmetrized
     (F, T) voxel arrays (insert_fold_reduce) — each hemisphere on ITS OWN
     mesh row (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835,
     run by each hemisphere's lead independently).
 
-    f/t: (2, mc^d..) sharded P(half); fsc: (n//2,) replicated.
-    Returns volumes (2, [n,] n, n) sharded P(half)."""
+    f/t: (2, mc^d..) sharded P(half); fsc: (n//2,) replicated; w0:
+    (2, mc^d..) C-balance warm-start weights, used when ``warm`` (pass the
+    previous round's converged weights for the same band — same stopping
+    rule, fewer iterations). Returns (volumes (2, [n,] n, n), converged
+    weights (2, mc^d..)), both sharded P(half)."""
     from ..core import reconstructor
 
     dims = 2 if mode == "2d" else 3
     lh = 2 // mesh.shape[HALF_AXIS]
 
-    def local(f, t, fsc):
-        vols = []
+    def local(f, t, fsc, w0):
+        vols, ws = [], []
         for h in range(lh):
-            vols.append(reconstructor.reconstruct_cropped(
+            v, w = reconstructor.reconstruct_cropped(
                 f[h], t[h], fsc, n, pf=pf, max_radius=r_u,
                 join_half=join_half, dims=dims,
-                insert_kernel=insert_kernel))
-        return jnp.stack(vols)
+                insert_kernel=insert_kernel,
+                w_init=w0[h] if warm else None, return_w=True)
+            vols.append(v)
+            ws.append(w)
+        return jnp.stack(vols), jnp.stack(ws)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P()),
-        out_specs=P(HALF_AXIS),
+        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P(), P(HALF_AXIS)),
+        out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
         check_vma=False,
-    )(f, t, fsc)
+    )(f, t, fsc, w0)
 
 
 # -------------------------------------------------------- M-step statistics
