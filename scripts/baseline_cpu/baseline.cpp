@@ -122,6 +122,24 @@ int main(int argc, char** argv) {
         }
     int P = (int)col.size();
 
+    // insert pixel set: the reference inserts the RECONSTRUCTION band
+    // rU = r + maxR/3 (Model::updateRU, src/Model.cpp:1543-1568), shells
+    // [0, rU) — wider than the search band (r3's harness reused the
+    // search ring, under-counting the insert ~2.8x)
+    const int R_U = R_BAND + (N / 2 - 2) / 3;  // 40 + 26 = 66
+    std::vector<int> col_u, row_u;
+    for (int i = 0; i <= R_U + 1; i++)
+        for (int j = -R_U - 1; j <= R_U + 1; j++) {
+            if (i == 0 && j < 0) continue;
+            double u2 = double(i) * i + double(j) * j;
+            double v = std::round(std::sqrt(u2));
+            if (u2 < double(R_U) * R_U && v < R_U) {
+                col_u.push_back(i);
+                row_u.push_back(j);
+            }
+        }
+    int P_U = (int)col_u.size();
+
     // random padded FT volume (projectee built once per iteration in the
     // reference; its FFT cost is excluded on both sides)
     std::vector<cf> vol((size_t)M * M * M);
@@ -209,13 +227,15 @@ int main(int argc, char** argv) {
             const float* c = &ctf[(size_t)l * P];
             for (int sdraw = 0; sdraw < M_RECO; sdraw++) {
                 const Mat3& R = rot[(size_t)(l * M_RECO + sdraw) % N_ROT];
-                for (int p = 0; p < P; p++) {
-                    float hx = col[p] * PF, hy = row[p] * PF;
+                for (int p = 0; p < P_U; p++) {
+                    float hx = col_u[p] * PF, hy = row_u[p] * PF;
                     float x = R.m[0] * hx + R.m[1] * hy;
                     float y = R.m[3] * hx + R.m[4] * hy;
                     float z = R.m[6] * hx + R.m[7] * hy;
-                    cf fv = (1.f / M_RECO) * c[p] * d[p];
-                    float tv = (1.f / M_RECO) * c[p] * c[p];
+                    // d/c indexed mod the search ring: the harness has no
+                    // rU-band image buffers; values don't affect cost
+                    cf fv = (1.f / M_RECO) * c[p % P] * d[p % P];
+                    float tv = (1.f / M_RECO) * c[p % P] * c[p % P];
                     scatter(F, T, z, y, x, fv, tv);
                     scatter(F, T, -z, -y, -x, std::conj(fv), tv);
                 }

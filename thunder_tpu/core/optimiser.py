@@ -738,6 +738,8 @@ class Optimiser:
         phase = 0
         total_slots = int(s2[0]) * int(s2[1])
         perm = None  # composed slot permutation from repacking
+        chunk0 = self._chunk()
+        chunk_eff = chunk0
         block_t0 = __import__("time").perf_counter()
         while phase < max_phase:
             state = engine.local_search(
@@ -749,17 +751,30 @@ class Optimiser:
                 jnp.asarray(phase, jnp.int32),
                 mode=para.mode, pf=para.pf, n=self.n,
                 pixel_size=para.pixel_size, ctf_search=ctf_search,
-                min_phase=min_phase, chunk=self._chunk(), n_phases=block,
+                min_phase=min_phase, chunk=chunk_eff, n_phases=block,
             )
             phase += block
-            n_active = int(jnp.sum(~state["_done"]))  # host sync per block
+            # per-half active counts: one small host sync per block
+            act_half = np.asarray(jnp.sum(~state["_done"], axis=1))
+            n_active = int(act_half.sum())
             now = __import__("time").perf_counter()
             self.log.debug("local_search block -> phase %d: %.2fs "
-                           "(active=%d/%d)", phase, now - block_t0,
-                           n_active, total_slots)
+                           "(active=%d/%d, chunk=%d)", phase,
+                           now - block_t0, n_active, total_slots, chunk_eff)
             block_t0 = now
             if n_active == 0:
                 break
+            # tail-adaptive chunk: a chunk's gather cost is per-LANE, so
+            # once only stragglers remain a full-width chunk wastes most
+            # lanes; smaller static chunks (2 extra cached compiles) cut
+            # the straggler tail ~4x
+            mh = int(act_half.max())
+            if mh <= 10:
+                chunk_eff = min(chunk0, 8)
+            elif mh <= 40:
+                chunk_eff = min(chunk0, 16)
+            else:
+                chunk_eff = chunk0
             if phase < max_phase and n_active < total_slots:
                 # pack still-active images into the leading chunks: fully-
                 # done chunks exit their while_loop immediately, so the
