@@ -636,6 +636,18 @@ class Optimiser:
             return "on" if jax.default_backend() not in ("cpu",) else "off"
         return f
 
+    def _slot_segments(self, chunks_per_dispatch=2):
+        """Host-side slot segmentation for the heavy E/M-step programs: a
+        single dispatch covering every image chunk runs for minutes at
+        production scale and trips the remote runtime's execution watchdog
+        (the r3 bench fault and the r4 512-particle roundtrip fault).
+        Segments are multiples of chunk x data-axis size, so sharded
+        slicing stays shard-local."""
+        s = self.s_slots
+        nd = self.mesh.shape[DATA_AXIS]
+        seg = max(1, self._chunk() * nd * chunks_per_dispatch)
+        return [(s0, min(s, s0 + seg)) for s0 in range(0, s, seg)]
+
     def _insert_kernel(self):
         """Gridding insertion kernel: trilinear (the reference's shipped
         compile-time choice, include/Config.h:97) or the MKB blob
@@ -680,12 +692,20 @@ class Optimiser:
         bricks = self._bricks()
         dat, c, sig_rcp = self._plane_ring_data(ring)
         keys = self._iter_keys(salt=1)
-        st, w_c = engine.scan_init(
-            self.mesh, bricks, rots, quats, tra, trans, col, row, pmask,
-            dat, c, sig_rcp, keys,
-            mode=para.mode, pf=para.pf, m_l_r=para.m_l_r, m_l_t=para.m_l_t,
-            m_l_d=para.m_l_d, chunk=self._chunk(), fused=self._fused(),
-        )
+        # bounded dispatches: one slot segment at a time (_slot_segments)
+        sts = []
+        for s0, s1 in self._slot_segments():
+            st_s, _wc_s = engine.scan_init(
+                self.mesh, bricks, rots, quats, tra, trans, col, row, pmask,
+                dat[:, s0:s1], c[:, s0:s1], sig_rcp[:, s0:s1],
+                keys[:, s0:s1],
+                mode=para.mode, pf=para.pf, m_l_r=para.m_l_r,
+                m_l_t=para.m_l_t, m_l_d=para.m_l_d, chunk=self._chunk(),
+                fused=self._fused(),
+            )
+            sts.append(st_s)
+        st = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *sts)
+        st = jax.device_put(st, engine.plane_sharding(self.mesh))
         # state stays DEVICE-RESIDENT (sharded) across the iteration — no
         # host round-trip between scan, local search, insert and stats
         # (VERDICT r2 weak #4); the filter's defocus dim persists across
@@ -713,96 +733,109 @@ class Optimiser:
         ctf_search = st_type == SEARCH_TYPE_CTF
 
         bricks = self._bricks()
-        dat, c, sig_rcp = self._plane_ring_data(ring)
-        state = {k: jnp.asarray(v) for k, v in self.par.items()}
-        keys = self._iter_keys(salt=2)
-        cp = engine.pack_ctf(self.ctf_params)
+        dat_all, c_all, sig_all = self._plane_ring_data(ring)
+        state_all = {k: jnp.asarray(v) for k, v in self.par.items()}
+        keys_all = self._iter_keys(salt=2)
+        cp_all = engine.pack_ctf(self.ctf_params)
+        s2 = state_all["k1"].shape
         # loop registers carried across phase blocks (engine.local_search)
-        s2 = state["k1"].shape
-        state["_done"] = jnp.zeros(s2, bool)
-        state["_noDec"] = jnp.zeros(s2, jnp.int32)
-        state["_nph"] = jnp.zeros(s2, jnp.int32)
+        state_all["_done"] = jnp.zeros(s2, bool)
+        state_all["_noDec"] = jnp.zeros(s2, jnp.int32)
+        state_all["_nph"] = jnp.zeros(s2, jnp.int32)
         # commit the whole state to the plane sharding up front: fresh
-        # host arrays (the loop registers above, or a numpy state on the
-        # first iteration) otherwise give the first block a different
+        # host arrays otherwise give the first block a different
         # input-sharding signature than steady state, forcing a ~40 s
         # retrace + relower of the block program on EVERY call
-        state = jax.device_put(state, engine.plane_sharding(self.mesh))
+        state_all = jax.device_put(state_all,
+                                   engine.plane_sharding(self.mesh))
         max_phase = particle.MAX_N_PHASE_PER_ITER
-        # host-driven phase blocks: every dispatch is bounded (a single
-        # dispatch spanning up to 100 phases ran for minutes on-chip and
-        # tripped the remote runtime's execution watchdog — the r3 bench
-        # fault); the earliest possible termination is min_phase + 1
-        # phases, so the first block costs no extra dispatch
+        # every dispatch is bounded (a single dispatch spanning 100 phases
+        # or every image chunk runs for minutes at production scale and
+        # trips the remote runtime's execution watchdog): the host drives
+        # slot SEGMENTS (outer) x phase BLOCKS (inner); the earliest
+        # possible termination is min_phase + 1 phases, so the first block
+        # costs no extra dispatch
         block = para.phase_block or (min_phase + 1)
-        phase = 0
-        total_slots = int(s2[0]) * int(s2[1])
-        perm = None  # composed slot permutation from repacking
         chunk0 = self._chunk()
-        chunk_eff = chunk0
-        block_t0 = __import__("time").perf_counter()
-        while phase < max_phase:
-            state = engine.local_search(
-                self.mesh, bricks, col, row, pmask, dat, c, sig_rcp, state,
-                keys, cp, self._sym_quats(),
-                jnp.asarray(para.perturb_factor_l, real_dtype),
-                jnp.asarray(perturb_s, real_dtype),
-                jnp.asarray(para.perturb_factor_s_ctf, real_dtype),
-                jnp.asarray(phase, jnp.int32),
-                mode=para.mode, pf=para.pf, n=self.n,
-                pixel_size=para.pixel_size, ctf_search=ctf_search,
-                min_phase=min_phase, chunk=chunk_eff, n_phases=block,
-            )
-            phase += block
-            # per-half active counts: one small host sync per block
-            act_half = np.asarray(jnp.sum(~state["_done"], axis=1))
-            n_active = int(act_half.sum())
-            now = __import__("time").perf_counter()
-            self.log.debug("local_search block -> phase %d: %.2fs "
-                           "(active=%d/%d, chunk=%d)", phase,
-                           now - block_t0, n_active, total_slots, chunk_eff)
-            block_t0 = now
-            if n_active == 0:
-                break
-            # tail-adaptive chunk: a chunk's gather cost is per-LANE, so
-            # once only stragglers remain a full-width chunk wastes most
-            # lanes; smaller static chunks (2 extra cached compiles) cut
-            # the straggler tail ~4x
-            mh = int(act_half.max())
-            if mh <= 10:
-                chunk_eff = min(chunk0, 8)
-            elif mh <= 40:
-                chunk_eff = min(chunk0, 16)
-            else:
-                chunk_eff = chunk0
-            if phase < max_phase and n_active < total_slots:
-                # pack still-active images into the leading chunks: fully-
-                # done chunks exit their while_loop immediately, so the
-                # straggler tail (max 26 vs mean 8 phases on the bench
-                # workload) stops paying whole-chunk gather cost. Exact:
-                # per-image results are slot-independent (engine.permute_
-                # slots); the permutation is undone after the loop.
-                order = jnp.argsort(state["_done"].astype(jnp.int32),
-                                    axis=1, stable=True)
-                if perm is None:
-                    perm = jnp.broadcast_to(
-                        jnp.arange(s2[1], dtype=jnp.int32)[None], s2)
-                perm = jnp.take_along_axis(perm, order, axis=1)
-                state, (dat, c, sig_rcp, keys, cp) = jax.device_put(
-                    engine.permute_slots(
-                        order, (state, (dat, c, sig_rcp, keys, cp))),
-                    engine.plane_sharding(self.mesh))  # keep block program
-                # input shardings stable (no retrace)
-        if perm is not None:  # undo the packing
-            inv = jnp.argsort(perm, axis=1)
-            state = engine.permute_slots(inv, state)
-        st = state
-        done = st.pop("_done")
-        st.pop("_noDec")
-        nph = st.pop("_nph")
-        # images never done ran to the host loop's end (reference logs
-        # nPhase heartbeats, src/Optimiser.cpp:1618-1627)
-        self.phase_counts = jnp.where(done, nph, min(phase, max_phase))
+        out_states, out_phases = [], []
+        for s0, s1 in self._slot_segments():
+            sl = lambda x: x[:, s0:s1]
+            state = jax.tree.map(sl, state_all)
+            dat, c, sig_rcp, keys, cp = (sl(dat_all), sl(c_all),
+                                         sl(sig_all), sl(keys_all),
+                                         sl(cp_all))
+            seg_slots = 2 * (s1 - s0)
+            phase = 0
+            perm = None  # composed slot permutation from repacking
+            chunk_eff = chunk0
+            block_t0 = __import__("time").perf_counter()
+            while phase < max_phase:
+                state = engine.local_search(
+                    self.mesh, bricks, col, row, pmask, dat, c, sig_rcp,
+                    state, keys, cp, self._sym_quats(),
+                    jnp.asarray(para.perturb_factor_l, real_dtype),
+                    jnp.asarray(perturb_s, real_dtype),
+                    jnp.asarray(para.perturb_factor_s_ctf, real_dtype),
+                    jnp.asarray(phase, jnp.int32),
+                    mode=para.mode, pf=para.pf, n=self.n,
+                    pixel_size=para.pixel_size, ctf_search=ctf_search,
+                    min_phase=min_phase, chunk=chunk_eff, n_phases=block,
+                )
+                phase += block
+                # per-half active counts: one small host sync per block
+                act_half = np.asarray(jnp.sum(~state["_done"], axis=1))
+                n_active = int(act_half.sum())
+                now = __import__("time").perf_counter()
+                self.log.debug(
+                    "local_search seg %d:%d block -> phase %d: %.2fs "
+                    "(active=%d/%d, chunk=%d)", s0, s1, phase,
+                    now - block_t0, n_active, seg_slots, chunk_eff)
+                block_t0 = now
+                if n_active == 0:
+                    break
+                # tail-adaptive chunk: a chunk's gather cost is per-LANE;
+                # once only stragglers remain, a full-width chunk wastes
+                # most lanes (2 extra cached compiles, ~4x faster tail)
+                mh = int(act_half.max())
+                if mh <= 10:
+                    chunk_eff = min(chunk0, 8)
+                elif mh <= 40:
+                    chunk_eff = min(chunk0, 16)
+                else:
+                    chunk_eff = chunk0
+                if phase < max_phase and n_active < seg_slots:
+                    # pack still-active images into the leading chunks:
+                    # fully-done chunks exit their while_loop immediately.
+                    # Exact: per-image results are slot-independent
+                    # (engine.permute_slots); undone after the loop.
+                    order = jnp.argsort(state["_done"].astype(jnp.int32),
+                                        axis=1, stable=True)
+                    if perm is None:
+                        perm = jnp.broadcast_to(
+                            jnp.arange(s1 - s0, dtype=jnp.int32)[None],
+                            (2, s1 - s0))
+                    perm = jnp.take_along_axis(perm, order, axis=1)
+                    state, (dat, c, sig_rcp, keys, cp) = jax.device_put(
+                        engine.permute_slots(
+                            order, (state, (dat, c, sig_rcp, keys, cp))),
+                        engine.plane_sharding(self.mesh))  # stable block
+                    # program input shardings (no retrace)
+            if perm is not None:  # undo the packing
+                inv = jnp.argsort(perm, axis=1)
+                state = engine.permute_slots(inv, state)
+            done_s = state.pop("_done")
+            state.pop("_noDec")
+            nph_s = state.pop("_nph")
+            # images never done ran to this segment's loop end (reference
+            # logs nPhase heartbeats, src/Optimiser.cpp:1618-1627)
+            out_phases.append(jnp.where(done_s, nph_s,
+                                        min(phase, max_phase)))
+            out_states.append(state)
+        st = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                         *out_states),
+            engine.plane_sharding(self.mesh))
+        self.phase_counts = jnp.concatenate(out_phases, axis=1)
         self.par = st  # device-resident
         self.scores = particle.compress_r(
             {k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()}
@@ -827,14 +860,29 @@ class Optimiser:
         dat, c, _ = self._plane_ring_data(ring, refined_defocus=True)
         dat_ori, _, _ = self._plane_ring_data(ring, ori=True)
         state = {k: jnp.asarray(self.par[k]) for k in ("topR", "topT", "c")}
-        sig_sums, cnt, xa, aa, norms = engine.residual_stats(
-            self.mesh, bricks, col, row, jnp.asarray(ring.sig), pmask,
-            dat, dat_ori, c, state, jnp.asarray(self.groups_plane),
-            jnp.asarray(self.plane_valid), jnp.asarray(self.offsets),
-            mode=self.para.mode, pf=self.para.pf, n=self.n,
-            n_groups=self.n_groups, n_shell=self.n // 2,
-            chunk=self._chunk(),
-        )
+        groups = jnp.asarray(self.groups_plane)
+        valid = jnp.asarray(self.plane_valid)
+        tra_off = jnp.asarray(self.offsets)
+        # bounded dispatches: one slot segment at a time; the psum'd
+        # per-group partials add, the per-image norms concatenate
+        sig_sums = cnt = xa = aa = None
+        norm_segs = []
+        for s0, s1 in self._slot_segments():
+            sg, ct, xa_s, aa_s, nrm = engine.residual_stats(
+                self.mesh, bricks, col, row, jnp.asarray(ring.sig), pmask,
+                dat[:, s0:s1], dat_ori[:, s0:s1], c[:, s0:s1],
+                jax.tree.map(lambda x: x[:, s0:s1], state),
+                groups[:, s0:s1], valid[:, s0:s1], tra_off[:, s0:s1],
+                mode=self.para.mode, pf=self.para.pf, n=self.n,
+                n_groups=self.n_groups, n_shell=self.n // 2,
+                chunk=self._chunk(),
+            )
+            sig_sums = sg if sig_sums is None else sig_sums + sg
+            cnt = ct if cnt is None else cnt + ct
+            xa = xa_s if xa is None else xa + xa_s
+            aa = aa_s if aa is None else aa + aa_s
+            norm_segs.append(nrm)
+        norms = jnp.concatenate(norm_segs, axis=1)
         shell_n = np.zeros(self.n // 2, np.float64)
         np.add.at(shell_n, np.asarray(ring.sig)[np.asarray(ring.mask) > 0], 1)
         # sig/cnt/xa/aa are psum'd (replicated) -> numpy is safe on every
@@ -1137,14 +1185,31 @@ class Optimiser:
             # (mc^d+1, 24) brick table is ever live and only the folded
             # 3-channel (F, T) crosses the psum (the 24-wide table variant
             # OOM'd the 16 GB chip at the Nyquist band, mc=317)
-            f_ht, t_ht, offs_k = engine.insert_fold_reduce(
-                self.mesh, col, row, pmask, dat, c,
-                {**state, "c": jnp.zeros_like(par_c)}, keys,
-                w_k, jnp.asarray(self.offsets), sym_rots,
-                mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
-                mc=mc, n_draw=n_draw, chunk=self._chunk(),
-                insert_kernel=self._insert_kernel(), alpha=para.alpha,
-            )
+            # bounded dispatches: insert one slot segment at a time with
+            # symmetrization deferred (linear: sym(sum) == sum(sym)); the
+            # single whole-plane dispatch ran 27 s at the bench band and
+            # ~1 min at the Nyquist pass — past the execution watchdog
+            f_ht = t_ht = offs_k = None
+            st_ins = {**state, "c": jnp.zeros_like(par_c)}
+            tra_off = jnp.asarray(self.offsets)
+            for s0, s1 in self._slot_segments(chunks_per_dispatch=1):
+                f_s, t_s, o_s = engine.insert_fold_reduce(
+                    self.mesh, col, row, pmask, dat[:, s0:s1], c[:, s0:s1],
+                    jax.tree.map(lambda x: x[:, s0:s1], st_ins),
+                    keys[:, s0:s1], w_k[:, s0:s1], tra_off[:, s0:s1],
+                    sym_rots,
+                    mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
+                    mc=mc, n_draw=n_draw, chunk=self._chunk(),
+                    insert_kernel=self._insert_kernel(), alpha=para.alpha,
+                    apply_sym=False,
+                )
+                f_ht = f_s if f_ht is None else f_ht + f_s
+                t_ht = t_s if t_ht is None else t_ht + t_s
+                offs_k = o_s if offs_k is None else offs_k + o_s
+            if dims == 3 and sym_rots.shape[0]:
+                f_ht, t_ht = engine.symmetrize_halves(
+                    self.mesh, f_ht, t_ht, sym_rots, pf=para.pf,
+                    r_u=(mc // 2 - 2) / para.pf)
             offs_all.append(host_np(offs_k)[:, 0])
             _mark("insert")  # host_np above is a real sync
             prev_fsc = getattr(self, "fsc", None)

@@ -420,11 +420,11 @@ def permute_slots(order, tree):
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk", "insert_kernel",
-                                   "alpha"))
+                                   "alpha", "apply_sym"))
 def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                        w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
                        mc, n_draw, chunk, insert_kernel="trilinear",
-                       alpha=15.0):
+                       alpha=15.0, apply_sym=True):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -544,9 +544,14 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
             f_c, t_c = fold(tab)
             f_c = jax.lax.psum(f_c, DATA_AXIS)
             t_c = jax.lax.psum(t_c, DATA_AXIS)
-            if mode != "2d" and sym_rots_.shape[0]:
+            if apply_sym and mode != "2d" and sym_rots_.shape[0]:
                 # (mc//2 - 2)/pf == the r_u this mc was cropped for
-                # (brick.crop_size); replicated compute post-psum
+                # (brick.crop_size); replicated compute post-psum.
+                # ``apply_sym=False`` defers it (symmetrize_halves) when
+                # the host accumulates the insert over image segments —
+                # symmetrization is linear, so sym(sum) == sum(sym), and
+                # repeating the expensive whole-grid gather per segment
+                # would waste it
                 f_c, t_c = reconstructor.symmetrize_cropped(
                     f_c, t_c, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
             f_hs.append(f_c)
@@ -561,6 +566,34 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
         out_specs=(P(HALF_AXIS), P(HALF_AXIS), P(HALF_AXIS)),
         check_vma=False,
     )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off, sym_rots)
+
+
+@partial(jax.jit, static_argnames=("mesh", "pf", "r_u"))
+def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u):
+    """Point-group symmetrization of per-half folded (F, T) voxel arrays,
+    each half on its own mesh row (Reconstructor::symmetrizeF/T,
+    src/Reconstructor.cpp:2676-2692). Used by the segmented insert path
+    (insert_fold_reduce apply_sym=False)."""
+    from ..core import reconstructor
+
+    lh = 2 // mesh.shape[HALF_AXIS]
+
+    def local(f, t, sym_rots_):
+        fs, ts = [], []
+        for h in range(lh):
+            f_c, t_c = reconstructor.symmetrize_cropped(
+                f[h], t[h], sym_rots_, r_u, pf=pf)
+            fs.append(f_c)
+            ts.append(t_c)
+        return jnp.stack(fs), jnp.stack(ts)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P()),
+        out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
+        check_vma=False,
+    )(f, t, sym_rots)
 
 
 # ---------------------------------------------------- per-half reconstruction
