@@ -1135,7 +1135,14 @@ class Optimiser:
         ring = pixels.pixel_ring(self.n, 0, r_u)
         col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
         pmask = jnp.asarray(ring.mask)
-        mc = brick_ops.crop_size(r_u, para.pf)
+        # bucket the TABLE band to multiples of 8 shells: the inserted
+        # pixel set and the reconstruction radius stay the TRUE r_u (exact
+        # results — the superset grid just carries zero margin), but the
+        # accumulator/FFT shapes stop changing every time the ladder moves
+        # r_u, which recompiled insert/reconstruct/symmetrize each round
+        # (~20 s/round over the remote tunnel)
+        r_tab = min(-(-int(np.ceil(r_u)) // 8) * 8, self.n // 2 - 2)
+        mc = brick_ops.crop_size(r_tab, para.pf)
         n_vox = mc**dims
 
         # the reference inserts the UNMASKED stack at -(tran - offset)
@@ -1223,7 +1230,8 @@ class Optimiser:
             vols2, w_out = engine.reconstruct_halves(
                 self.mesh, f_ht, t_ht, fsc_k,
                 wc if warm else jnp.zeros_like(t_ht),
-                mode=para.mode, pf=para.pf, n=self.n, r_u=r_u,
+                jnp.asarray(float(r_u), real_dtype),
+                mode=para.mode, pf=para.pf, n=self.n,
                 join_half=join_half, insert_kernel=self._insert_kernel(),
                 warm=warm,
             )

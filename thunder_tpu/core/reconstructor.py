@@ -244,7 +244,7 @@ def symmetrize_cropped(f, t, sym_rots, max_radius, pf=2, z_chunk=16):
     return f_acc, t_acc
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "max_radius", "grid_corr",
+@partial(jax.jit, static_argnames=("size", "pf", "grid_corr",
                                    "map_wiener", "join_half", "dims",
                                    "insert_kernel", "return_w"))
 def reconstruct_cropped(
@@ -283,10 +283,14 @@ def reconstruct_cropped(
     include/Config.h:95-97, src/Projector.cpp gridCorrection)."""
     if max_radius is None:
         max_radius = size // 2 - 2
+    # max_radius may be a traced value: the ladder moves r_u every round
+    # and baking it into the program recompiled the reconstruction per
+    # round; only SHAPES (mc, size) are static
+    max_radius = jnp.asarray(max_radius, real_dtype)
     mc = f.shape[-1]
     m = size * pf
     r2 = _radius_sq_grid(mc, dims)
-    in_rad = r2 < float(max_radius * pf) ** 2
+    in_rad = r2 < (max_radius * pf) ** 2
     fftc = fft3_center if dims == 3 else fft2_center
     ifftc = ifft3_center if dims == 3 else ifft2_center
 

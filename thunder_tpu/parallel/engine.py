@@ -598,9 +598,9 @@ def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u):
 
 # ---------------------------------------------------- per-half reconstruction
 
-@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "r_u",
+@partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n",
                                    "join_half", "insert_kernel", "warm"))
-def reconstruct_halves(mesh, f, t, fsc, w0, *, mode, pf, n, r_u, join_half,
+def reconstruct_halves(mesh, f, t, fsc, w0, r_u, *, mode, pf, n, join_half,
                        insert_kernel="trilinear", warm=False):
     """Per-half Wiener/C-balance reconstruction from folded+symmetrized
     (F, T) voxel arrays (insert_fold_reduce) — each hemisphere on ITS OWN
@@ -610,18 +610,20 @@ def reconstruct_halves(mesh, f, t, fsc, w0, *, mode, pf, n, r_u, join_half,
     f/t: (2, mc^d..) sharded P(half); fsc: (n//2,) replicated; w0:
     (2, mc^d..) C-balance warm-start weights, used when ``warm`` (pass the
     previous round's converged weights for the same band — same stopping
-    rule, fewer iterations). Returns (volumes (2, [n,] n, n), converged
-    weights (2, mc^d..)), both sharded P(half)."""
+    rule, fewer iterations); r_u: scalar reconstruction radius (traced —
+    the ladder moves it every round, only the grid shape is static).
+    Returns (volumes (2, [n,] n, n), converged weights (2, mc^d..)), both
+    sharded P(half)."""
     from ..core import reconstructor
 
     dims = 2 if mode == "2d" else 3
     lh = 2 // mesh.shape[HALF_AXIS]
 
-    def local(f, t, fsc, w0):
+    def local(f, t, fsc, w0, r_u_):
         vols, ws = [], []
         for h in range(lh):
             v, w = reconstructor.reconstruct_cropped(
-                f[h], t[h], fsc, n, pf=pf, max_radius=r_u,
+                f[h], t[h], fsc, n, pf=pf, max_radius=r_u_,
                 join_half=join_half, dims=dims,
                 insert_kernel=insert_kernel,
                 w_init=w0[h] if warm else None, return_w=True)
@@ -632,10 +634,10 @@ def reconstruct_halves(mesh, f, t, fsc, w0, *, mode, pf, n, r_u, join_half,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P(), P(HALF_AXIS)),
+        in_specs=(P(HALF_AXIS), P(HALF_AXIS), P(), P(HALF_AXIS), P()),
         out_specs=(P(HALF_AXIS), P(HALF_AXIS)),
         check_vma=False,
-    )(f, t, fsc, w0)
+    )(f, t, fsc, w0, r_u)
 
 
 # -------------------------------------------------------- M-step statistics
