@@ -140,9 +140,13 @@ def test_non_dividing_image_batch_consistent():
     np.testing.assert_allclose(sa[3], sb[3], rtol=1e-5)
     oa.reconstruct()
     ob.reconstruct()
+    # different image_batch => different slot-segment boundaries in the
+    # host-segmented insert => float partial sums reorder (like the psum
+    # reordering across mesh layouts above); values agree to
+    # accumulation noise
     np.testing.assert_allclose(
-        np.asarray(oa.refs), np.asarray(ob.refs), rtol=1e-4,
-        atol=1e-5 * float(np.abs(np.asarray(ob.refs)).max()))
+        np.asarray(oa.refs), np.asarray(ob.refs), rtol=1e-3,
+        atol=1e-4 * float(np.abs(np.asarray(ob.refs)).max()))
 
 
 def test_bf16_tables_match_statistically_across_meshes():

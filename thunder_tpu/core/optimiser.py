@@ -783,7 +783,9 @@ class Optimiser:
                 )
                 phase += block
                 # per-half active counts: one small host sync per block
-                act_half = np.asarray(jnp.sum(~state["_done"], axis=1))
+                # (host_np: the (2,) result is sharded over the half axis,
+                # so a plain np.asarray is non-addressable multi-process)
+                act_half = host_np(jnp.sum(~state["_done"], axis=1))
                 n_active = int(act_half.sum())
                 now = __import__("time").perf_counter()
                 self.log.debug(
