@@ -1245,8 +1245,11 @@ class Optimiser:
             ft_a, ft_b = fftc(vols[0]), fftc(vols[1])
             fsc_new = self._golden_fsc(ft_a, ft_b)
             fscs.append(np.asarray(fsc_new))
-            half_maps.append([np.asarray(v) for v in vols])
-            _mark("wiener_fsc")  # np.asarray above is a real sync
+            # keep the half maps DEVICE-resident: pulling them through the
+            # ~20 MB/s remote tunnel cost ~1.7 s/round and nothing reads
+            # them as numpy (save_outputs writes self.refs)
+            half_maps.append([v for v in vols])
+            _mark("wiener_fsc")  # np.asarray(fsc) above is a real sync
             if avg:
                 # hemisphere averaging below the band where FSC >= 0.95 thr
                 band = int(spectrum.res_p(fsc_new, 0.95, r_low=1))
