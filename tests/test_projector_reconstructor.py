@@ -184,3 +184,47 @@ def test_roundtrip_white_spectrum(rng):
         spectrum.frc_fsc(fft.fft3_center(out), fft.fft3_center(vol), n // 2, 3)
     )
     assert np.all(fsc_curve[1 : max_r - 1] > 0.9), fsc_curve
+
+
+def test_warm_start_seeds_newly_opened_shells(rng):
+    """Warm-starting the C-balance with a previous round's weights while the
+    ladder has ADVANCED r_u must not zero the newly opened shells: w_init is
+    exactly 0 there (outside the old in_rad) and thirty division steps
+    cannot recover a clamped ~1e-20 seed (r4 advisor high finding). The
+    warm map must match the cold map everywhere, including the new band."""
+    from thunder_tpu.ops import brick, spectrum
+
+    n, pf = 32, 2
+    r_old, r_new = 8, 14
+    mc = brick.crop_size(r_new, pf)
+    vol = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
+    vf = projector.build_projectee_3d(vol, pf=pf)
+    ring = pixels.pixel_ring(n, 0, r_new)
+    col, row, pm = (jnp.asarray(ring.col), jnp.asarray(ring.row),
+                    jnp.asarray(ring.mask))
+    rots = quat.rotate3d(quat.random_quat(jax.random.PRNGKey(2), 256))
+    proj = projector.project_pixels_3d(vf, rots, col, row, pf=pf)
+    st = reconstructor.empty_brick_state(n, r_new, pf=pf)
+    for s in range(0, 256, 64):
+        st = reconstructor.insert_brick_3d(
+            st, proj[s:s + 64], jnp.ones_like(proj.real)[s:s + 64],
+            rots[s:s + 64], col, row, jnp.ones((64,)), pf=pf, pixel_mask=pm)
+    f, t = reconstructor.finalize_brick(st)
+    fsc = jnp.ones((n // 2,))
+    # previous round: converged weights at the OLD band (same mc grid)
+    _, w_old = reconstructor.reconstruct_cropped(
+        f, t, fsc, n, pf=pf, max_radius=r_old, dims=3, return_w=True)
+    assert float(jnp.max(jnp.where(
+        reconstructor._radius_sq_grid(mc, 3) > (r_old * pf) ** 2,
+        w_old, 0.0))) == 0.0  # new shells really start from 0
+    cold = np.asarray(reconstructor.reconstruct_cropped(
+        f, t, fsc, n, pf=pf, max_radius=r_new, dims=3))
+    warm = np.asarray(reconstructor.reconstruct_cropped(
+        f, t, fsc, n, pf=pf, max_radius=r_new, dims=3, w_init=w_old))
+    cold_ft = np.asarray(fft.fft3_center(jnp.asarray(cold)))
+    warm_ft = np.asarray(fft.fft3_center(jnp.asarray(warm)))
+    curve = np.asarray(spectrum.frc_fsc(
+        jnp.asarray(warm_ft), jnp.asarray(cold_ft), n // 2, 3))
+    # shells in the newly opened band (r_old, r_new) must agree (the bug
+    # gave ~0 FSC there; ~0.97+ is the C-balance early-exit tolerance)
+    assert np.all(curve[r_old:r_new] > 0.9), curve

@@ -34,8 +34,13 @@ import os as _os
 # CPU-forced runs skip it: XLA:CPU AOT cache entries embed machine features
 # and reloading them on a different host risks SIGILL (and tests don't
 # need the cache).
-if (not _os.environ.get("THUNDER_NO_COMPILE_CACHE")
-        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+# Gate on ANY cpu entry in JAX_PLATFORMS ("cpu", "cpu,tpu", ...), not an
+# exact match; callers that force CPU programmatically via jax.config
+# (rather than the env var) should also set THUNDER_NO_COMPILE_CACHE=1 —
+# resolving the backend here would initialize jax at import time.
+_plats = [p.strip().lower()
+          for p in _os.environ.get("JAX_PLATFORMS", "").split(",")]
+if not _os.environ.get("THUNDER_NO_COMPILE_CACHE") and "cpu" not in _plats:
     import jax as _jax
 
     _cache_dir = _os.environ.get(

@@ -562,10 +562,17 @@ class Optimiser:
     def _ring(self):
         return pixels.pixel_ring(self.n, self.r_low, self.ladder.r)
 
+    # default device image batch when the config leaves image_batch = 0:
+    # an UNBOUNDED chunk makes every "bounded" dispatch in _slot_segments
+    # degenerate to one whole-plane dispatch, which runs for minutes at
+    # production scale and trips remote-runtime execution watchdogs (the
+    # r3 bench fault); results are chunk-independent (tests/test_engine.py)
+    DEFAULT_IMAGE_BATCH = 64
+
     def _chunk(self):
         s_local = self.s_slots // self.mesh.shape[DATA_AXIS]
-        b = self.para.image_batch
-        return max(1, min(b, s_local) if b else s_local)
+        b = self.para.image_batch or self.DEFAULT_IMAGE_BATCH
+        return max(1, min(b, s_local))
 
     def _bricks(self, r_band=None):
         """Per-half, per-class brick projectee tables (2, K, ...), laid out
@@ -1209,8 +1216,8 @@ class Optimiser:
                     sym_rots,
                     mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
                     mc=mc, n_draw=n_draw, chunk=self._chunk(),
-                    insert_kernel=self._insert_kernel(), alpha=para.alpha,
-                    apply_sym=False,
+                    insert_kernel=self._insert_kernel(), blob_a=para.a,
+                    alpha=para.alpha, apply_sym=False,
                 )
                 f_ht = f_s if f_ht is None else f_ht + f_s
                 t_ht = t_s if t_ht is None else t_ht + t_s
@@ -1235,7 +1242,7 @@ class Optimiser:
                 jnp.asarray(float(r_u), real_dtype),
                 mode=para.mode, pf=para.pf, n=self.n,
                 join_half=join_half, insert_kernel=self._insert_kernel(),
-                warm=warm,
+                warm=warm, blob_a=para.a, blob_alpha=para.alpha,
             )
             if not hasattr(self, "_w_warm"):
                 self._w_warm = {}
@@ -1269,6 +1276,8 @@ class Optimiser:
                 joined.append(np.asarray(reconstructor.reconstruct_cropped(
                     f_j, t_j, jnp.asarray(fscs[-1]), self.n, pf=para.pf,
                     max_radius=r_u, join_half=True, dims=dims,
+                    insert_kernel=self._insert_kernel(), blob_a=para.a,
+                    blob_alpha=para.alpha,
                 )))
         _mark("avg")
         self.reco_timing = reco_t  # sub-stage seconds, merged into history

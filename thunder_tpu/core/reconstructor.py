@@ -312,13 +312,25 @@ def reconstruct_cropped(
     t = jnp.maximum(t, 1e-25)
     w = jnp.where(in_rad, 1.0, 0.0).astype(real_dtype)
     if w_init is not None:
-        w = jnp.where(in_rad, jnp.maximum(w_init, 1e-20), 0.0
+        # warm start from a previous round's converged weights. Shells the
+        # ladder has newly opened carry w_init == 0 (they were outside the
+        # previous in_rad) — seed them at the cold-start value 1.0: thirty
+        # division steps cannot recover a ~1e-20 weight, which silently
+        # zeroed every newly opened shell in both half maps (r4 advisor
+        # finding, verified: truth-FSC at the new shell 0.967 -> -0.007)
+        w = jnp.where(in_rad, jnp.where(w_init > 0.0, w_init, 1.0), 0.0
                       ).astype(real_dtype)
 
     if grid_corr:
+        # C-balance taper = real-space profile of the INSERTION kernel.
+        # The reference ships RECONSTRUCTOR_KERNEL_PADDING off, so its
+        # _kernelRL is MKB_RL with a (not pf*a) (src/Reconstructor.cpp:
+        # 77-88); for the MKB insert this also matches the deposited
+        # MKB_FT(a) kernel and the final envelope division below
+        taper_a = blob_a if insert_kernel == "mkb" else blob_a * pf
         taper_r = jnp.sqrt(_radius_sq_grid(mc, dims)) / mc
-        nf = mkb_rl(jnp.zeros(()), blob_a * pf, blob_alpha)
-        taper = (mkb_rl(taper_r, blob_a * pf, blob_alpha) / nf).astype(real_dtype)
+        nf = mkb_rl(jnp.zeros(()), taper_a, blob_alpha)
+        taper = (mkb_rl(taper_r, taper_a, blob_alpha) / nf).astype(real_dtype)
 
         def body(carry):
             w, diff_c, diff_c_prev, n_no_dec, it = carry

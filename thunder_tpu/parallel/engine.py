@@ -149,7 +149,7 @@ def _fused_class_gather(flat, coords, cls, mc, mode):
 
 
 def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode,
-                        kernel="trilinear", alpha=15.0):
+                        kernel="trilinear", blob_a=1.9, alpha=15.0):
     """Scatter pose-weighted pixels into the class-fused brick accumulator
     ((K * mc^d + 1, width) rows; last row is the drop slot). cls: (B,).
     kernel: "trilinear" (one row-add/sample) or "mkb" (3D only; 8
@@ -158,7 +158,7 @@ def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode,
         rows = [brick._corners2(coords, mc)]
         n_vox = mc**2
     elif kernel == "mkb":
-        rows = brick.mkb_rows3(coords, mc, alpha=alpha)
+        rows = brick.mkb_rows3(coords, mc, a=blob_a, alpha=alpha)
         n_vox = mc**3
     else:
         rows = [brick._corners3(coords, mc)]
@@ -420,11 +420,11 @@ def permute_slots(order, tree):
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk", "insert_kernel",
-                                   "alpha", "apply_sym"))
+                                   "blob_a", "alpha", "apply_sym"))
 def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                        w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
                        mc, n_draw, chunk, insert_kernel="trilinear",
-                       alpha=15.0, apply_sym=True):
+                       blob_a=1.9, alpha=15.0, apply_sym=True):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -504,7 +504,7 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                     tv = (c[:, None, :] ** 2) * wv
                     tab = _fused_class_insert(tab, coords, cls, fv, tv, mc,
                                               mode, kernel=insert_kernel,
-                                              alpha=alpha)
+                                              blob_a=blob_a, alpha=alpha)
                     # per-class re-centring accumulator: dir = -rot(t-off,0)
                     if mode == "2d":
                         dirv = -jnp.einsum("bnij,bnj->bni", rots,
@@ -599,9 +599,11 @@ def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u):
 # ---------------------------------------------------- per-half reconstruction
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n",
-                                   "join_half", "insert_kernel", "warm"))
+                                   "join_half", "insert_kernel", "warm",
+                                   "blob_a", "blob_alpha"))
 def reconstruct_halves(mesh, f, t, fsc, w0, r_u, *, mode, pf, n, join_half,
-                       insert_kernel="trilinear", warm=False):
+                       insert_kernel="trilinear", warm=False, blob_a=1.9,
+                       blob_alpha=15.0):
     """Per-half Wiener/C-balance reconstruction from folded+symmetrized
     (F, T) voxel arrays (insert_fold_reduce) — each hemisphere on ITS OWN
     mesh row (Reconstructor::reconstruct src/Reconstructor.cpp:1129-1835,
@@ -625,7 +627,8 @@ def reconstruct_halves(mesh, f, t, fsc, w0, r_u, *, mode, pf, n, join_half,
             v, w = reconstructor.reconstruct_cropped(
                 f[h], t[h], fsc, n, pf=pf, max_radius=r_u_,
                 join_half=join_half, dims=dims,
-                insert_kernel=insert_kernel,
+                insert_kernel=insert_kernel, blob_a=blob_a,
+                blob_alpha=blob_alpha,
                 w_init=w0[h] if warm else None, return_w=True)
             vols.append(v)
             ws.append(w)
