@@ -97,6 +97,11 @@ class Para:
     # "on"/"off" force; "interpret" runs the Pallas kernel interpreted
     # (CPU testing)
     fused_kernels: str = "auto"
+    # M-step gridding insert implementation: "auto" = the sort-and-bin
+    # Pallas/MXU path (ops.pallas_insert, ~7x faster than XLA scatter at
+    # bench scale) on TPU for 3D trilinear, XLA scatter elsewhere;
+    # "scatter"/"sorted" force; "sorted_interpret" for CPU testing
+    insert_impl: str = "auto"
     # bfloat16 projection brick tables: halves the per-index gather cost of
     # the E-step's dominant op (interp dots still accumulate f32);
     # reconstruction accumulators are unaffected. CAVEAT: bf16 quantization

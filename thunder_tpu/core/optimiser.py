@@ -664,6 +664,18 @@ class Optimiser:
         return ("mkb" if (self.para.mkb_kernel and self.para.mode == "3d")
                 else "trilinear")
 
+    def _insert_impl(self):
+        """Resolve the insert implementation switch: 'auto' uses the
+        sorted Pallas/MXU path (ops.pallas_insert) on TPU backends for 3D
+        trilinear inserts, XLA scatter elsewhere."""
+        v = self.para.insert_impl
+        if v == "auto":
+            use = (self.para.mode == "3d"
+                   and self._insert_kernel() == "trilinear"
+                   and jax.default_backend() not in ("cpu",))
+            return "sorted" if use else "scatter"
+        return v
+
     def _sym_quats(self):
         if self.para.mode == "2d" or not self.sym.n_elements:
             return jnp.zeros((0, 4), real_dtype)
@@ -1218,6 +1230,7 @@ class Optimiser:
                     mc=mc, n_draw=n_draw, chunk=self._chunk(),
                     insert_kernel=self._insert_kernel(), blob_a=para.a,
                     alpha=para.alpha, apply_sym=False,
+                    insert_impl=self._insert_impl(),
                 )
                 f_ht = f_s if f_ht is None else f_ht + f_s
                 t_ht = t_s if t_ht is None else t_ht + t_s

@@ -243,6 +243,34 @@ def insert3(tab, coords, fv, tv, w=None):
     return tab.at[idx.reshape(-1)].add(contrib.reshape(-1, 24))
 
 
+def fold_insert3_lane(tab_lane, mc, hermitian=True):
+    """fold_insert3 for the LANE-MAJOR (24, R_pad) accumulator produced by
+    ops.pallas_insert (rows beyond mc^3 are drop/pad rows). Returns
+    (F (mc,mc,mc) complex64, T (mc,mc,mc) f32)."""
+    bt = tab_lane[:, :mc**3].reshape(24, mc, mc, mc)
+    fr = jnp.zeros((mc, mc, mc), jnp.float32)
+    fi = jnp.zeros((mc, mc, mc), jnp.float32)
+    tt = jnp.zeros((mc, mc, mc), jnp.float32)
+    s = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ez = mc - dz if dz else mc
+                ey = mc - dy if dy else mc
+                ex = mc - dx if dx else mc
+                blk = (slice(None, ez), slice(None, ey), slice(None, ex))
+                tgt = (slice(dz, None), slice(dy, None), slice(dx, None))
+                fr = fr.at[tgt].add(bt[s][blk])
+                fi = fi.at[tgt].add(bt[8 + s][blk])
+                tt = tt.at[tgt].add(bt[16 + s][blk])
+                s += 1
+    f = jax.lax.complex(fr, fi)
+    if hermitian:
+        f = f + jnp.conj(f[::-1, ::-1, ::-1])
+        tt = tt + tt[::-1, ::-1, ::-1]
+    return f, tt
+
+
 def fold_insert3(tab, hermitian=True):
     """Fold the brick accumulator back to voxels and apply the deferred
     Hermitian mirror. Returns (F (mc,mc,mc) complex64, T (mc,mc,mc) f32)."""

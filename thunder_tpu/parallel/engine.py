@@ -420,11 +420,13 @@ def permute_slots(order, tree):
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk", "insert_kernel",
-                                   "blob_a", "alpha", "apply_sym"))
+                                   "blob_a", "alpha", "apply_sym",
+                                   "insert_impl"))
 def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                        w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
                        mc, n_draw, chunk, insert_kernel="trilinear",
-                       blob_a=1.9, alpha=15.0, apply_sym=True):
+                       blob_a=1.9, alpha=15.0, apply_sym=True,
+                       insert_impl="scatter"):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -452,21 +454,112 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
     Returns (f (2, mc^d..) complex64, t (2, mc^d..) f32, offsets (2, K, 4))
     where offsets[..., :3] accumulate dir = -rot @ (tran - offset, 0) per
     draw and [..., 3] counts draws (Reconstructor::insertDir + allReduceO,
-    src/Optimiser.cpp:7227-7233, src/Reconstructor.cpp:2455-2520)."""
+    src/Optimiser.cpp:7227-7233, src/Reconstructor.cpp:2455-2520).
+
+    insert_impl: "scatter" = one XLA width-24 row scatter per sample
+    (~121 ns/row on big accumulators); "sorted" = the Pallas sort-and-bin
+    MXU path (ops.pallas_insert, ~17 ns/sample measured at the bench
+    shape), 3D trilinear only — other modes fall back to scatter;
+    "sorted_interpret" = same in Pallas interpret mode (CPU tests)."""
     from ..core import reconstructor
     from ..ops import brick as brick_ops
+    from ..ops import pallas_insert
 
     assert k_classes == 1, "classes are inserted sequentially (staging)"
     lh = 2 // mesh.shape[HALF_AXIS]
     n_vox = mc**2 if mode == "2d" else mc**3
     width = 12 if mode == "2d" else 24
     fold = brick_ops.fold_insert2 if mode == "2d" else brick_ops.fold_insert3
+    use_sorted = (insert_impl in ("sorted", "sorted_interpret")
+                  and mode == "3d" and insert_kernel == "trilinear")
+    interp = insert_impl == "sorted_interpret"
+    # draw-block size: bound the per-call sample array (8, B*D_c*P) f32
+    # (sort + kernel work per call; bigger calls amortize the window-chunk
+    # overlap — see pallas_insert)
+    p_pix = col.shape[0]
+    d_max = max(1, min(n_draw, 32_000_000 // max(1, chunk * p_pix)))
+    nblk = -(-n_draw // d_max)
+    d_c = -(-n_draw // nblk)  # even-ish split
+    n_draw_pad = nblk * d_c
 
     def local(col_, row_, pmask_, dat, ctf, state, keys, w_img, tra_off,
               sym_rots_):
         f_hs, t_hs, offs = [], [], []
         for h in range(lh):
             st_h = jax.tree.map(lambda x: x[h], state)
+
+            def chunk_step_sorted(carry, args):
+                """Sorted-insert variant: same draws/keys as chunk_step,
+                but all samples of a draw BLOCK go through ONE
+                sort-and-bin Pallas update (ops.pallas_insert) instead of
+                per-draw row scatters."""
+                tab_lane, off = carry
+                d, c, ky, w, o_img, r_sup, t_sup, cls = args
+                k1 = jax.vmap(lambda k: jax.random.fold_in(k, 101))(ky)
+                k2 = jax.vmap(lambda k: jax.random.fold_in(k, 102))(ky)
+                ri = jax.vmap(
+                    lambda k: jax.random.randint(k, (n_draw,), 0,
+                                                 r_sup.shape[1]))(k1)
+                ti = jax.vmap(
+                    lambda k: jax.random.randint(k, (n_draw,), 0,
+                                                 t_sup.shape[1]))(k2)
+                q_d = jnp.take_along_axis(r_sup, ri[..., None], axis=1)
+                t_d = jnp.take_along_axis(t_sup, ti[..., None], axis=1)
+                t_rel = t_d - o_img[:, None, :]  # (B, n_draw, 2)
+                # re-centring accumulator, all draws at once
+                rots_all = _rot_mats(q_d, mode)  # (B, n_draw, 3, 3)
+                t3 = jnp.concatenate(
+                    [t_rel, jnp.zeros_like(t_rel[..., :1])], -1)
+                dirv = -jnp.einsum("bnij,bnj->bni", rots_all, t3)
+                cnt = jnp.broadcast_to((w > 0)[:, None],
+                                       dirv.shape[:2]).astype(real_dtype)
+                o_add = jnp.concatenate(
+                    [dirv * cnt[..., None], cnt[..., None]], -1)
+                off = off.at[cls].add(jnp.sum(o_add, axis=1))
+                # pad the draw axis to nblk * d_c with zero-weight draws
+                dpad = n_draw_pad - n_draw
+                q_p = jnp.concatenate(
+                    [q_d, jnp.broadcast_to(q_d[:, :1],
+                                           q_d.shape[:1] + (dpad, 4))], 1)
+                t_p = jnp.concatenate(
+                    [t_rel, jnp.zeros(t_rel.shape[:1] + (dpad, 2),
+                                      t_rel.dtype)], 1)
+                dmask = (jnp.arange(n_draw_pad) < n_draw).astype(real_dtype)
+                b_sz = q_d.shape[0]
+                q_b = jnp.moveaxis(
+                    q_p.reshape(b_sz, nblk, d_c, 4), 1, 0)
+                t_b = jnp.moveaxis(
+                    t_p.reshape(b_sz, nblk, d_c, 2), 1, 0)
+                m_b = dmask.reshape(nblk, d_c)
+
+                def blk_step(tab_lane, args_b):
+                    q_1, t_1, m_1 = args_b  # (B, d_c, 4/2), (d_c,)
+                    rots = _rot_mats(q_1, mode)  # (B, d_c, 3, 3)
+                    coords = projector.slice_coords_3d(rots, col_, row_,
+                                                       pf=pf)
+                    tra = translation_phase(col_, row_, -t_1[..., 0],
+                                            -t_1[..., 1], n)
+                    wv = (w[:, None, None] * m_1[None, :, None]
+                          * pmask_).astype(real_dtype)
+                    fv = d[:, None, :] * tra * c[:, None, :] * wv
+                    tv = jnp.broadcast_to((c[:, None, :] ** 2) * wv,
+                                          fv.shape)
+                    base = jnp.floor(coords)
+                    bi = base.astype(jnp.int32) + mc // 2
+                    idx = (bi[..., 0] * mc + bi[..., 1]) * mc + bi[..., 2]
+                    valid = jnp.all((bi >= 0) & (bi < mc - 1), axis=-1)
+                    idx = jnp.where(valid, idx, mc**3)
+                    frac = (coords - base).astype(jnp.float32)
+                    tab_lane = pallas_insert.sorted_insert_update(
+                        tab_lane, idx.reshape(-1),
+                        fv.real.reshape(-1), fv.imag.reshape(-1),
+                        tv.reshape(-1), frac.reshape(-1, 3),
+                        interpret=interp)
+                    return tab_lane, 0.0
+
+                tab_lane, _ = jax.lax.scan(blk_step, tab_lane,
+                                           (q_b, t_b, m_b))
+                return (tab_lane, off), 0.0
 
             def chunk_step(carry, args):
                 tab, off = carry
@@ -528,9 +621,17 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                     (jnp.moveaxis(q_d, 1, 0), jnp.moveaxis(t_rel, 1, 0)))
                 return (tab, off), 0.0
 
-            tab0 = jnp.zeros((k_classes * n_vox + 1, width), jnp.float32)
+            if use_sorted:
+                tab0 = jnp.zeros(
+                    (24, pallas_insert.rows_pad(k_classes * n_vox + 1)),
+                    jnp.float32)
+                step_fn = chunk_step_sorted
+            else:
+                tab0 = jnp.zeros((k_classes * n_vox + 1, width),
+                                 jnp.float32)
+                step_fn = chunk_step
             off0 = jnp.zeros((k_classes, 4), real_dtype)
-            (tab, off), _ = jax.lax.scan(chunk_step, (tab0, off0), (
+            (tab, off), _ = jax.lax.scan(step_fn, (tab0, off0), (
                 _chunked(dat[h], chunk), _chunked(ctf[h], chunk),
                 _chunked(keys[h], chunk),
                 _chunked(w_img[h], chunk, zero_pad=True),
@@ -541,7 +642,10 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
             # fold this device's partial table NOW (linear: psum commutes)
             # so the next half's table can reuse its HBM, and psum the
             # 3-channel voxel arrays instead of the 24-wide brick table
-            f_c, t_c = fold(tab)
+            if use_sorted:
+                f_c, t_c = brick_ops.fold_insert3_lane(tab, mc)
+            else:
+                f_c, t_c = fold(tab)
             f_c = jax.lax.psum(f_c, DATA_AXIS)
             t_c = jax.lax.psum(t_c, DATA_AXIS)
             if apply_sym and mode != "2d" and sym_rots_.shape[0]:
