@@ -228,3 +228,34 @@ def test_warm_start_seeds_newly_opened_shells(rng):
     # shells in the newly opened band (r_old, r_new) must agree (the bug
     # gave ~0 FSC there; ~0.97+ is the C-balance early-exit tolerance)
     assert np.all(curve[r_old:r_new] > 0.9), curve
+
+
+def test_symmetrize_grid_exact_matches_gather(rng):
+    """C4/D2 rotations are grid-exact: the transpose/flip fast path must
+    reproduce the trilinear-gather symmetrization to float rounding
+    (trilinear interpolation at grid points is the identity)."""
+    from thunder_tpu.geom.symmetry import Symmetry
+
+    mc = 33
+    f = jnp.asarray((rng.normal(size=(mc,) * 3)
+                     + 1j * rng.normal(size=(mc,) * 3)).astype(np.complex64))
+    t = jnp.asarray(np.abs(rng.normal(size=(mc,) * 3)).astype(np.float32))
+    for sym_name in ("C2", "C4", "D2"):
+        sym = Symmetry(sym_name)
+        exact_ops, gen = reconstructor.split_grid_exact(sym.rot)
+        assert gen.shape[0] == 0, (sym_name, gen)
+        assert len(exact_ops) == sym.n_elements
+        r_u = (mc // 2 - 2) / 2
+        f_g, t_g = reconstructor.symmetrize_cropped(
+            f, t, jnp.asarray(sym.rot.astype(np.float32)), r_u, pf=2)
+        f_e, t_e = reconstructor.symmetrize_exact(f, t, exact_ops, r_u, pf=2)
+        np.testing.assert_allclose(np.asarray(t_e), np.asarray(t_g),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_e.real), np.asarray(f_g.real),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_e.imag), np.asarray(f_g.imag),
+                                   rtol=1e-5, atol=1e-5)
+    # C3 is NOT grid-exact: everything must stay on the general path
+    sym3 = Symmetry("C3")
+    exact_ops, gen = reconstructor.split_grid_exact(sym3.rot)
+    assert len(exact_ops) == 0 and gen.shape[0] == sym3.n_elements

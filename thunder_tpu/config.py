@@ -31,6 +31,10 @@ class Para:
     init_model: str = ""
     db: str = ""  # .thu path
     par_prefix: str = ""
+    # output filename prefix prepended to every written file (the
+    # reference's dstPrefix, include/Optimiser.h:189-191: filenames are
+    # sprintf'd as dstPrefix + name); may contain a directory part
+    dst_prefix: str = ""
     output_directory: str = "./"
     output_file_prefix: str = ""
     core_fsc: bool = True
@@ -97,6 +101,10 @@ class Para:
     # "on"/"off" force; "interpret" runs the Pallas kernel interpreted
     # (CPU testing)
     fused_kernels: str = "auto"
+    # frequency-ladder stall criterion (the reference's compile-time
+    # MODEL_DETERMINE_INCREASE_R_* flags, include/Config.h:139-143;
+    # shipped default = t_vari): "t_vari" | "r_change" | "fsc_area"
+    increase_r_criterion: str = "t_vari"
     # M-step gridding insert implementation: "auto" = the sort-and-bin
     # Pallas/MXU path (ops.pallas_insert, ~7x faster than XLA scatter at
     # bench scale) on TPU for 3D trilinear, XLA scatter elsewhere;
@@ -140,6 +148,7 @@ _JSON_KEYS = {
         "Initial Model": ("init_model", str),
         ".thu File Storing Paths and CTFs of Images": ("db", str),
         "Path of Particles": ("par_prefix", str),
+        "Prefix of Destination": ("dst_prefix", str),
         "Path of Output": ("output_directory", str),
         "Prefix of Output": ("output_file_prefix", str),
         "Calculate FSC Using Core Region": ("core_fsc", bool),

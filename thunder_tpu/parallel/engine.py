@@ -421,12 +421,12 @@ def permute_slots(order, tree):
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "k_classes",
                                    "mc", "n_draw", "chunk", "insert_kernel",
                                    "blob_a", "alpha", "apply_sym",
-                                   "insert_impl"))
+                                   "insert_impl", "exact_ops"))
 def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                        w_img, tra_off, sym_rots, *, mode, pf, n, k_classes,
                        mc, n_draw, chunk, insert_kernel="trilinear",
                        blob_a=1.9, alpha=15.0, apply_sym=True,
-                       insert_impl="scatter"):
+                       insert_impl="scatter", exact_ops=()):
     """M-step gridding insert: draw ``n_draw`` poses per image from its
     particle filter (support points post-resample are uniform-weighted, so
     a uniform index draw IS a posterior draw; Optimiser::reconstructRef
@@ -648,7 +648,8 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                 f_c, t_c = fold(tab)
             f_c = jax.lax.psum(f_c, DATA_AXIS)
             t_c = jax.lax.psum(t_c, DATA_AXIS)
-            if apply_sym and mode != "2d" and sym_rots_.shape[0]:
+            if apply_sym and mode != "2d" and (sym_rots_.shape[0]
+                                               or exact_ops):
                 # (mc//2 - 2)/pf == the r_u this mc was cropped for
                 # (brick.crop_size); replicated compute post-psum.
                 # ``apply_sym=False`` defers it (symmetrize_halves) when
@@ -656,8 +657,14 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                 # symmetrization is linear, so sym(sum) == sum(sym), and
                 # repeating the expensive whole-grid gather per segment
                 # would waste it
-                f_c, t_c = reconstructor.symmetrize_cropped(
-                    f_c, t_c, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
+                f0, t0 = f_c, t_c
+                f_c, t_c = reconstructor.symmetrize_exact(
+                    f0, t0, exact_ops, (mc // 2 - 2) / pf, pf=pf)
+                if sym_rots_.shape[0]:
+                    f_g, t_g = reconstructor.symmetrize_cropped(
+                        f0, t0, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
+                    f_c = f_c + (f_g - f0)
+                    t_c = t_c + (t_g - t0)
             f_hs.append(f_c)
             t_hs.append(t_c)
             offs.append(jax.lax.psum(off, DATA_AXIS))
@@ -672,12 +679,16 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
     )(col, row, pmask, dat_ori, ctf, state, keys, w_img, tra_off, sym_rots)
 
 
-@partial(jax.jit, static_argnames=("mesh", "pf", "r_u"))
-def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u):
+@partial(jax.jit, static_argnames=("mesh", "pf", "r_u", "exact_ops"))
+def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u, exact_ops=()):
     """Point-group symmetrization of per-half folded (F, T) voxel arrays,
     each half on its own mesh row (Reconstructor::symmetrizeF/T,
     src/Reconstructor.cpp:2676-2692). Used by the segmented insert path
-    (insert_fold_reduce apply_sym=False)."""
+    (insert_fold_reduce apply_sym=False).
+
+    exact_ops: grid-exact rotations as transpose/flip descriptors
+    (reconstructor.split_grid_exact) — sym_rots should then hold only the
+    remaining general rotations."""
     from ..core import reconstructor
 
     lh = 2 // mesh.shape[HALF_AXIS]
@@ -685,8 +696,14 @@ def symmetrize_halves(mesh, f, t, sym_rots, *, pf, r_u):
     def local(f, t, sym_rots_):
         fs, ts = [], []
         for h in range(lh):
-            f_c, t_c = reconstructor.symmetrize_cropped(
-                f[h], t[h], sym_rots_, r_u, pf=pf)
+            f_c, t_c = reconstructor.symmetrize_exact(
+                f[h], t[h], exact_ops, r_u, pf=pf)
+            if sym_rots_.shape[0]:
+                # general rotations gather from the ORIGINAL arrays
+                f_g, t_g = reconstructor.symmetrize_cropped(
+                    f[h], t[h], sym_rots_, r_u, pf=pf)
+                f_c = f_c + (f_g - f[h])
+                t_c = t_c + (t_g - t[h])
             fs.append(f_c)
             ts.append(t_c)
         return jnp.stack(fs), jnp.stack(ts)
@@ -726,17 +743,19 @@ def reconstruct_halves(mesh, f, t, fsc, w0, r_u, *, mode, pf, n, join_half,
     lh = 2 // mesh.shape[HALF_AXIS]
 
     def local(f, t, fsc, w0, r_u_):
-        vols, ws = [], []
-        for h in range(lh):
-            v, w = reconstructor.reconstruct_cropped(
-                f[h], t[h], fsc, n, pf=pf, max_radius=r_u_,
+        # vmap over this device's halves (2 on a 1-row mesh): the two
+        # C-balance loops run as ONE batched-FFT while_loop — a batched
+        # iteration measured 86.6 ms vs 2 x 55.5 ms sequential at the
+        # bench band (scripts/wiener_probe.py, r5)
+        def one(fh, th, w0h):
+            return reconstructor.reconstruct_cropped(
+                fh, th, fsc, n, pf=pf, max_radius=r_u_,
                 join_half=join_half, dims=dims,
                 insert_kernel=insert_kernel, blob_a=blob_a,
                 blob_alpha=blob_alpha,
-                w_init=w0[h] if warm else None, return_w=True)
-            vols.append(v)
-            ws.append(w)
-        return jnp.stack(vols), jnp.stack(ws)
+                w_init=w0h if warm else None, return_w=True)
+
+        return jax.vmap(one)(f, t, w0)
 
     return shard_map(
         local,
