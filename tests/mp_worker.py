@@ -20,6 +20,7 @@ workdir = sys.argv[2]
 port = sys.argv[3]
 n_procs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 rounds = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+subtract = len(sys.argv) > 6 and sys.argv[6] == "subtract"
 
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={8 // n_procs}")
@@ -64,6 +65,15 @@ if pid != 0:
     leaked = (os.listdir(para.output_directory)
               if os.path.isdir(para.output_directory) else [])
     assert not leaked, f"non-main host {pid} wrote outputs: {leaked}"
+
+if subtract:
+    # per-rank subtraction writer (saveSubtract, src/Optimiser.cpp:8418):
+    # EVERY process writes its own Subtract_Rank_{i}.mrcs into the SHARED
+    # output dir; only host 0 writes the merged Meta_Subtract.thu
+    opt.para.output_directory = os.path.join(workdir, "out_mp")
+    opt.para.subtract = True
+    opt.para.region_centre = ""
+    opt._subtract_pipeline()
 
 # gather the comparison payload on every host; host 0 dumps it
 top_r = opt.best_quat

@@ -126,3 +126,109 @@ def test_select_gallery_and_keep(tmp_path):
     # kept rows preserve their original particle paths
     orig = [p for p, c in zip(t.particle_paths, cls) if c in (0, 2, 3)]
     assert kept.particle_paths == orig
+
+
+def test_run_end_to_end(tmp_path):
+    """The `run` subcommand end to end (appsrc/thunder.cpp:346-488):
+    config JSON -> dataset -> refinement -> outputs, then a RESUME run
+    (Global Search: false) from the produced Meta_Final.thu."""
+    import json
+
+    import jax
+    from thunder_tpu.core import projector
+    from thunder_tpu.geom import quat
+    from thunder_tpu.ops import ctf as ctf_ops, fft as fft_ops
+    from thunder_tpu.ops.translate import translate_ft
+    from thunder_tpu.ops.filters import low_pass_filter
+
+    n, b = 32, 48
+    rng = np.random.default_rng(5)
+    g = np.mgrid[:n, :n, :n].astype(np.float32) - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for _ in range(4):
+        c = rng.uniform(-n / 5, n / 5, 3)
+        s = rng.uniform(n / 16, n / 9)
+        vol += np.exp(-((g[0] - c[2]) ** 2 + (g[1] - c[1]) ** 2
+                        + (g[2] - c[0]) ** 2) / (2 * s * s))
+    q = np.asarray(quat.random_quat(jax.random.PRNGKey(2), b))
+    tr = rng.normal(0, 1.0, (b, 2)).astype(np.float32)
+    du = rng.uniform(1e4, 2e4, b).astype(np.float32)
+    # project + CTF + translate (the stack the run's CTF model expects)
+    vf = projector.build_projectee_3d(jnp.asarray(vol), pf=2)
+    f = jnp.arange(n) - n // 2
+    colg, rowg = jnp.meshgrid(f, f, indexing="xy")
+    c2d = ctf_ops.ctf_pixels(
+        colg.reshape(-1).astype(jnp.float32),
+        rowg.reshape(-1).astype(jnp.float32), n, 1.32,
+        jnp.full((b, 1), 300e3), jnp.asarray(du)[:, None],
+        jnp.asarray(du)[:, None], jnp.zeros((b, 1)), jnp.zeros((b, 1)),
+        jnp.full((b, 1), 0.1), jnp.zeros((b, 1))).reshape(b, n, n)
+    sl = projector.project_full_3d(
+        vf, quat.rotate3d(jnp.asarray(q)), n, n // 2 - 1, pf=2)
+    sl = translate_ft(sl * c2d, jnp.asarray(tr[:, 0]), jnp.asarray(tr[:, 1]))
+    stack = np.array(fft_ops.ifft2_center(sl).real, np.float32)
+    stack += rng.normal(0, stack.std(), stack.shape).astype(np.float32)
+    write_mrc(str(tmp_path / "stack.mrcs"), stack, voxel_size=1.32)
+    t = make_table(
+        b, particle_paths=[f"{i+1}@{tmp_path}/stack.mrcs" for i in range(b)],
+        voltage=np.full(b, 300e3), defocus_u=du, defocus_v=du,
+        amplitude_contrast=np.full(b, 0.1))
+    write_thu(str(tmp_path / "particles.thu"), t)
+    init = np.asarray(fft_ops.ifft3_center(low_pass_filter(
+        fft_ops.fft3_center(jnp.asarray(vol)), 4.0 / n, 3.0 / n, 3)).real)
+    write_mrc(str(tmp_path / "init.mrc"), init, voxel_size=1.32)
+
+    cfg = {
+        "Basic": {
+            "2D or 3D Mode": "3D",
+            "Global Search": True, "Local Search": True, "CTF Search": False,
+            "Number of Classes": 1, "Size of Image": n,
+            "Pixel Size (Angstrom)": 1.32,
+            "Radius of Mask on Images (Angstrom)": 16.0,
+            "Estimated Translation (Pixel)": 2,
+            "Initial Resolution (Angstrom)": 12.0,
+            "Perform Global Search Under (Angstrom)": 6.0,
+            "Symmetry": "C1",
+            "Initial Model": str(tmp_path / "init.mrc"),
+            ".thu File Storing Paths and CTFs of Images":
+                str(tmp_path / "particles.thu"),
+            "Path of Output": str(tmp_path / "out"),
+            "Prefix of Output": "",
+        },
+        "Advanced": {
+            "Max Number of Iteration": 2,
+            "Padding Factor": 2,
+            "Number of Sampling Points for Scanning in Global Search (3D)": 128,
+            "Number of Sampling Points of Rotation in Local Search (3D)": 15,
+            "Number of Sampling Points of Translation in Local Search": 5,
+            "Number of Sampling Points of Defocus in Local Search": 3,
+            "Number of Sampling Points Used in Reconstruction": 10,
+            "Save Reference(s) Each Iteration": False,
+            "Save .thu File Each Iteration": False,
+        },
+    }
+    cfg_path = tmp_path / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cli(["run", str(cfg_path)])
+    out = tmp_path / "out"
+    assert (out / "Reference_000_A_Final.mrc").exists()
+    assert (out / "Reference_000_B_Final.mrc").exists()
+    assert (out / "Reference_000_Final.mrc").exists()
+    assert (out / "FSC_Final.txt").exists()
+    meta = read_thu(str(out / "Meta_Final.thu"))
+    assert len(meta) == b
+    # quaternions in the meta table are unit-norm (refined poses persisted)
+    qn = np.linalg.norm(meta.values[:, 13:17], axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+    # ---- resume: Global Search false from the produced .thu
+    cfg["Basic"]["Global Search"] = False
+    cfg["Basic"][".thu File Storing Paths and CTFs of Images"] = str(
+        out / "Meta_Final.thu")
+    cfg["Basic"]["Path of Output"] = str(tmp_path / "out2")
+    cfg["Advanced"]["Max Number of Iteration"] = 1
+    cfg2 = tmp_path / "resume.json"
+    cfg2.write_text(json.dumps(cfg))
+    cli(["run", str(cfg2)])
+    assert (tmp_path / "out2" / "Reference_000_Final.mrc").exists()
+    assert (tmp_path / "out2" / "Meta_Final.thu").exists()

@@ -156,3 +156,75 @@ def dataclasses_asdict(para):
     import dataclasses
 
     return dataclasses.asdict(para)
+
+
+def test_two_process_subtraction_writers(tmp_path):
+    """Per-rank signal subtraction (saveSubtract, src/Optimiser.cpp:8418):
+    each process writes Subtract_Rank_{i}.mrcs for its own images; host 0
+    writes one merged Meta_Subtract.thu whose paths point into the right
+    rank file; reassembling via those paths reproduces the single-process
+    subtracted stack."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    import re
+    import subprocess
+    import sys
+
+    from thunder_tpu.io import read_mrc
+    from thunder_tpu.io.thu import read_thu
+
+    workdir = str(tmp_path)
+    _write_dataset(workdir)
+    para = _para()
+    with open(os.path.join(workdir, "para.json"), "w") as f:
+        json.dump(dataclasses_asdict(para), f)
+
+    # single-process subtraction over the same dataset
+    ds = ParticleDataset(os.path.join(workdir, "particles.thu"),
+                         particle_prefix=workdir, seed=para.seed)
+    para_sp = _para()
+    para_sp.output_directory = os.path.join(workdir, "out_sp")
+    from thunder_tpu.io import read_mrc as _rm
+
+    opt = Optimiser(para_sp, mesh=make_mesh(n_devices=8))
+    opt.set_data_from_dataset(ds)
+    opt.init_reference(_rm(os.path.join(workdir, "init.mrc")))
+    opt.init_sigma()
+    opt.run_iteration()
+    opt.para.subtract = True
+    opt.para.region_centre = ""
+    opt._subtract_pipeline()
+    sp_stack = read_mrc(os.path.join(workdir, "out_sp",
+                                     "Subtract_Rank_000000.mrcs"))
+    sp_meta = read_thu(os.path.join(workdir, "out_sp", "Meta_Subtract.thu"))
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), workdir, "12441", "2", "1",
+         "subtract"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-4000:]}"
+
+    out_mp = os.path.join(workdir, "out_mp")
+    stacks = {r: read_mrc(os.path.join(
+        out_mp, f"Subtract_Rank_{r:06d}.mrcs")) for r in (0, 1)}
+    meta = read_thu(os.path.join(out_mp, "Meta_Subtract.thu"))
+    g = 1 + opt.sym.n_elements
+    assert len(meta) == g * B == len(sp_meta)
+    # every image present exactly once per symmetry element across ranks
+    assert stacks[0].shape[0] + stacks[1].shape[0] == g * B
+    # reassemble via the meta paths; rows are image-major like single-proc
+    for row in range(0, g * B, 7):
+        m = re.match(r"(\d+)@.*Subtract_Rank_(\d+)\.mrcs",
+                     meta.particle_paths[row])
+        sl, rk = int(m.group(1)) - 1, int(m.group(2))
+        img_mp = stacks[rk][sl]
+        m2 = re.match(r"(\d+)@", sp_meta.particle_paths[row])
+        img_sp = sp_stack[int(m2.group(1)) - 1]
+        c = np.corrcoef(img_mp.ravel(), img_sp.ravel())[0, 1]
+        assert c > 0.99, (row, c)

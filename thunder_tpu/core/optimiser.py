@@ -1703,10 +1703,6 @@ class Optimiser:
         pass 1: the provided region mask), then write the masked-region-
         reference-subtracted particle stack + its .thu."""
         para = self.para
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "signal subtraction is single-process for now; the "
-                "per-host Subtract_Rank_{i} writer is not yet wired")
         self._rebuild_masked_stack()
         if para.region_centre:
             from ..io import read_mrc
@@ -1723,13 +1719,38 @@ class Optimiser:
                 self.reconstruct(r_u=self.max_r, avg=False, final=True)
         self.save_subtract()
 
+    def _local_rows_np(self, arr, loc):
+        """Extract this process's (half, slot) rows of a sharded
+        (2, S, ...) array as numpy, in the order of ``loc``."""
+        out = None
+        pos = {r: i for i, r in enumerate(loc)}
+        for shard in arr.addressable_shards:
+            h_sl, s_sl = shard.index[0], shard.index[1]
+            data = np.asarray(shard.data)
+            if out is None:
+                out = np.zeros((len(loc),) + data.shape[2:], data.dtype)
+            for i, h in enumerate(range(*h_sl.indices(2))):
+                for j, s in enumerate(range(*s_sl.indices(arr.shape[1]))):
+                    p = pos.get((h, s))
+                    if p is not None:
+                        out[p] = data[i, j]
+        return out if out is not None else np.zeros(
+            (len(loc),) + arr.shape[2:], np.float32)
+
     def save_subtract(self):
-        """Write Subtract_Rank_000000.mrcs: per image, for the identity and
-        every symmetry element, diff = imgOri - CTF * proj(masked ref at
-        sym-rotated rank-1 pose), translated by (-tran + offset -
+        """Write Subtract_Rank_{rank:06d}.mrcs: per image, for the identity
+        and every symmetry element, diff = imgOri - CTF * proj(masked ref
+        at sym-rotated rank-1 pose), translated by (-tran + offset -
         rot^T regionCentre) so the target region is centred; the particle
         translations move into the subtracted frame (saveSubtract,
-        src/Optimiser.cpp:8418-8530)."""
+        src/Optimiser.cpp:8418-8530).
+
+        Multi-process: EACH process writes the rank file holding its own
+        devices' images (the reference's per-rank writer,
+        src/Optimiser.cpp:8427); process 0 writes the merged
+        Meta_Subtract.thu whose particle paths point into the rank files
+        (path index = gi * n_rank + j + 1, gi-major like the reference's
+        l + N*(i+1) + 1 numbering)."""
         import os
 
         para = self.para
@@ -1762,11 +1783,31 @@ class Optimiser:
             defocus_factor=jnp.asarray(self.par["topD"]),
         ).reshape(2, self.s_slots, n, n)
 
-        tran = self.par["topT"].copy()   # (2, S, 2)
-        off = self.offsets
-        t_rel = tran - off
-        cls = self.par["c"]
-        rot_b = np.asarray(quat.rotate3d(jnp.asarray(self.par["topR"])))
+        # host copies of the (small) pose state for the projection loop
+        # and metadata; the image-sized arrays stay sharded
+        tran_np = host_np(jnp.asarray(self.par["topT"]))  # (2, S, 2)
+        off_np = host_np(jnp.asarray(self.offsets))
+        t_rel_np = tran_np - off_np
+        t_rel = jnp.asarray(self.par["topT"]) - jnp.asarray(self.offsets)
+        cls = host_np(jnp.asarray(self.par["c"]))
+        rot_b = np.asarray(quat.rotate3d(
+            jnp.asarray(host_np(jnp.asarray(self.par["topR"])))))
+        t_rel = jax.device_put(t_rel, engine.plane_sharding(self.mesh))
+
+        # this process's rows of the half-plane layout -> its rank file
+        # (the reference's per-rank writer, src/Optimiser.cpp:8427)
+        sh_plane = engine.plane_sharding(self.mesh)
+        rows = local_plane_rows(sh_plane, (2, self.s_slots))
+        # rank-file slices ordered by GLOBAL image index (single-process
+        # this reproduces the flat-order stack, slice l+1 = image l)
+        loc = sorted(
+            ((h, sl) for (h, sl) in rows if self.plane_valid[h, sl] > 0),
+            key=lambda r: int(self.plane_index[r[0], r[1]]))
+        rank = jax.process_index()
+
+        def _to_plane_sharded(arr_np):
+            return jax.make_array_from_callback(
+                arr_np.shape, sh_plane, lambda idx: arr_np[idx])
 
         stacks, q_rows = [], []
         for gi, r_g in enumerate(sym_rots):
@@ -1785,21 +1826,27 @@ class Optimiser:
                     pf=para.pf,
                 )).reshape(-1, n, n)
                 pri[sel] = pk
-            tra = translate_ft(
-                jnp.asarray(pri),
-                jnp.asarray(t_rel[..., 0]), jnp.asarray(t_rel[..., 1]))
+            if jax.process_count() > 1:
+                pri_g = jax.jit(jax.lax.complex, out_shardings=sh_plane)(
+                    _to_plane_sharded(np.ascontiguousarray(pri.real)),
+                    _to_plane_sharded(np.ascontiguousarray(pri.imag)))
+            else:
+                pri_g = jnp.asarray(pri)
+            tra = translate_ft(pri_g, t_rel[..., 0], t_rel[..., 1])
             diff = self.imgs_ft_ori - c2d * tra
             # recentre the remaining (subtracted) region
             reg = np.einsum("hsij,j->hsi", np.transpose(rot_c, (0, 1, 3, 2)),
                             rc)
+            reg_g = (_to_plane_sharded(reg.astype(np.float32))
+                     if jax.process_count() > 1
+                     else jnp.asarray(reg.astype(np.float32)))
             diff = translate_ft(
-                diff,
-                jnp.asarray(-t_rel[..., 0] - reg[..., 0]),
-                jnp.asarray(-t_rel[..., 1] - reg[..., 1]))
-            stacks.append(self._from_plane(
-                np.asarray(fft_ops.ifft2_center(diff).real, np.float32)))
-        stack = np.concatenate(stacks, axis=0)  # ((1+G) * N, n, n)
-        name = f"{prefix}Subtract_Rank_000000.mrcs"
+                diff, -t_rel[..., 0] - reg_g[..., 0],
+                -t_rel[..., 1] - reg_g[..., 1])
+            diff_rl = fft_ops.ifft2_center(diff).real.astype(jnp.float32)
+            stacks.append(self._local_rows_np(diff_rl, loc))
+        stack = np.concatenate(stacks, axis=0)  # ((1+G) * n_local, n, n)
+        name = f"{prefix}Subtract_Rank_{rank:06d}.mrcs"
         write_mrc(name, stack, voxel_size=para.pixel_size)
 
         # particle translations move into the subtracted frame
@@ -1815,8 +1862,20 @@ class Optimiser:
         n_imgs = self.n_imgs
         rep = lambda a: np.repeat(np.asarray(a), g_all, axis=0)
         q_all = np.stack(q_rows, axis=1).reshape(n_imgs * g_all, 4)
-        paths = [f"{gi * n_imgs + l + 1}@Subtract_Rank_000000.mrcs"
-                 for l in range(n_imgs) for gi in range(g_all)]
+        # image -> (owning rank, slice within its rank file)
+        owner = np.full((n_imgs, 2), -1, np.int64)
+        for j, (h, sl) in enumerate(loc):
+            owner[int(self.plane_index[h, sl])] = (rank, j)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            owner = np.max(np.asarray(
+                multihost_utils.process_allgather(owner)), axis=0)
+        counts = np.bincount(owner[:, 0][owner[:, 0] >= 0],
+                             minlength=jax.process_count())
+        paths = [
+            f"{gi * counts[owner[l, 0]] + owner[l, 1] + 1}"
+            f"@Subtract_Rank_{owner[l, 0]:06d}.mrcs"
+            for l in range(n_imgs) for gi in range(g_all)]
         micros = getattr(self, "micrograph_paths", ["none"] * n_imgs)
         table = make_table(
             n_imgs * g_all,
@@ -1844,7 +1903,8 @@ class Optimiser:
             std_defocus_factor=rep(flat["sD"]),
             score=rep(self._from_plane(self.scores)),
         )
-        write_thu(f"{prefix}Meta_Subtract.thu", table)
+        if is_main():
+            write_thu(f"{prefix}Meta_Subtract.thu", table)
 
     # ---------------------------------------------------------------- output
 
