@@ -866,8 +866,15 @@ class Optimiser:
         # trips the remote runtime's execution watchdog): the host drives
         # slot SEGMENTS (outer) x phase BLOCKS (inner); the earliest
         # possible termination is min_phase + 1 phases, so the first block
-        # costs no extra dispatch
+        # costs no extra dispatch. LATER blocks shrink to 2 phases: a
+        # chunk gathers at full cost for every phase of a block while ANY
+        # of its images is active, so on the straggler tail short blocks
+        # (more frequent repacking + width adaptation) beat long ones —
+        # phase-B cost is within ~4 % of the raw gather floor per
+        # chunk-phase (scripts/phase_bisect.py r5), leaving scheduling
+        # waste as the only headroom
         block = para.phase_block or (min_phase + 1)
+        block_tail = para.phase_block or 2
         chunk0 = self._chunk()
         out_states, out_phases = [], []
         for s0, s1 in self._slot_segments():
@@ -880,6 +887,7 @@ class Optimiser:
             phase = 0
             perm = None  # composed slot permutation from repacking
             chunk_eff = chunk0
+            blk_cur = block
             block_t0 = __import__("time").perf_counter()
             while phase < max_phase:
                 state = engine.local_search(
@@ -891,9 +899,11 @@ class Optimiser:
                     jnp.asarray(phase, jnp.int32),
                     mode=para.mode, pf=para.pf, n=self.n,
                     pixel_size=para.pixel_size, ctf_search=ctf_search,
-                    min_phase=min_phase, chunk=chunk_eff, n_phases=block,
+                    min_phase=min_phase, chunk=chunk_eff,
+                    n_phases=blk_cur,
                 )
-                phase += block
+                phase += blk_cur
+                blk_cur = block_tail
                 # per-half active counts: one small host sync per block
                 # (host_np: the (2,) result is sharded over the half axis,
                 # so a plain np.asarray is non-addressable multi-process)
