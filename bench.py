@@ -105,11 +105,16 @@ def main():
         opt.ladder.r = r
         opt.ladder.n_no_decrease = 0
 
-    pin_local()
-    opt.run_iteration()  # compile the local-search round (not timed)
+    # TWO untimed pinned rounds: the adaptive phase-block/chunk-width
+    # scheduler reaches different jit variants depending on each round's
+    # straggler pattern, and a first-touch compile over the remote tunnel
+    # costs 20-40 s — warm the variant set before timing steady state
+    for _ in range(2):
+        pin_local()
+        opt.run_iteration()
 
     times = []
-    for _ in range(3):
+    for _ in range(4):
         pin_local()
         t0 = time.perf_counter()
         opt.run_iteration()

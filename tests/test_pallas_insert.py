@@ -110,3 +110,56 @@ def test_engine_sorted_matches_scatter():
     assert float(jnp.max(jnp.abs(t_a - t_b))) / scale < 1e-5
     np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_engine_fused_classes_match_staged():
+    """k_classes=K fused insert == K staged passes with other classes'
+    weights zeroed (the optimiser's fallback path) — 2D scatter and 3D
+    sorted-interpret variants."""
+    from thunder_tpu.ops import pixels
+    from thunder_tpu.parallel import engine
+    from thunder_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, r_u, pf, kk = 16, 6, 2, 3
+    mesh = make_mesh()
+    ring = pixels.pixel_ring(n, 0, r_u)
+    col, row = jnp.asarray(ring.col), jnp.asarray(ring.row)
+    pmask = jnp.asarray(ring.mask)
+    p = ring.col.shape[0]
+    s = 8
+    mc = brick.crop_size(r_u, pf)
+    dat = jnp.asarray((rng.normal(size=(2, s, p))
+                       + 1j * rng.normal(size=(2, s, p))).astype(np.complex64))
+    ctf = jnp.asarray(rng.uniform(0.5, 1.0, (2, s, p)).astype(np.float32))
+    cls = jnp.asarray(rng.integers(0, kk, (2, s)).astype(np.int32))
+    st = {
+        "r": jnp.asarray(rng.normal(size=(2, s, 5, 4)).astype(np.float32)),
+        "t": jnp.asarray(rng.normal(size=(2, s, 3, 2)).astype(np.float32)),
+        "c": cls,
+    }
+    st["r"] = st["r"] / jnp.linalg.norm(st["r"], axis=-1, keepdims=True)
+    keys = engine.plane_keys(jax.random.PRNGKey(1),
+                             np.arange(2 * s).reshape(2, s))
+    w = jnp.ones((2, s), jnp.float32) / 5
+    off = jnp.zeros((2, s, 2), jnp.float32)
+    sym = jnp.zeros((0, 3, 3), jnp.float32)
+    for mode, impl in (("3d", "sorted_interpret"), ("3d", "scatter")):
+        kw = dict(mode=mode, pf=pf, n=n, mc=mc, n_draw=6, chunk=4,
+                  apply_sym=False, insert_impl=impl)
+        f_f, t_f, o_f = engine.insert_fold_reduce(
+            mesh, col, row, pmask, dat, ctf, st, keys, w, off, sym,
+            k_classes=kk, **kw)
+        assert f_f.shape[1] == kk
+        for k in range(kk):
+            w_k = w * (cls == k)
+            st1 = {**st, "c": jnp.zeros_like(cls)}
+            f_1, t_1, o_1 = engine.insert_fold_reduce(
+                mesh, col, row, pmask, dat, ctf, st1, keys, w_k, off, sym,
+                k_classes=1, **kw)
+            scale = float(jnp.max(jnp.abs(t_1))) + 1e-12
+            assert float(jnp.max(jnp.abs(f_f[:, k] - f_1))) / scale < 1e-5
+            assert float(jnp.max(jnp.abs(t_f[:, k] - t_1))) / scale < 1e-5
+            np.testing.assert_allclose(np.asarray(o_f[:, k]),
+                                       np.asarray(o_1[:, 0]),
+                                       rtol=1e-5, atol=1e-6)

@@ -1333,35 +1333,57 @@ class Optimiser:
             reco_t[name] = reco_t.get(name, 0.0) + (now - t_last)
             t_last = now
 
-        new_refs, fscs, half_maps, joined, offs_all = [], [], [], [], []
-        for k in range(para.k):
-            w_k = w_img * (par_c == k) if para.k > 1 else w_img
-            # insert + fold + symmetrize fused per half: only ONE
-            # (mc^d+1, 24) brick table is ever live and only the folded
-            # 3-channel (F, T) crosses the psum (the 24-wide table variant
-            # OOM'd the 16 GB chip at the Nyquist band, mc=317)
-            # bounded dispatches: insert one slot segment at a time with
-            # symmetrization deferred (linear: sym(sum) == sum(sym)); the
-            # single whole-plane dispatch ran 27 s at the bench band and
-            # ~1 min at the Nyquist pass — past the execution watchdog
-            f_ht = t_ht = offs_k = None
-            st_ins = {**state, "c": jnp.zeros_like(par_c)}
+        # K-class fusion: one insert pass routes every sample to its
+        # image's class block in the fused accumulator (the reference's
+        # batched InsertI2D, gpu/src/cuthunder.cu:3265) — a K-class
+        # classification round costs ~1x insert instead of K staged
+        # passes. Falls back to per-class staging when the K-fold
+        # accumulator would not fit comfortably (e.g. 3D near Nyquist,
+        # the reference's own memory-staged regime).
+        n_vox = mc**dims
+        acc_width = 12 if dims == 2 else 24
+        fused_k = (para.k > 1
+                   and para.k * n_vox * acc_width * 4 <= 3e9)
+
+        def run_insert(k_classes, st_ins, w_ins):
+            # insert + fold (+ deferred symmetrize) per half: only ONE
+            # brick table is ever live and only the folded 3-channel
+            # (F, T) crosses the psum. Bounded dispatches: one slot
+            # segment at a time with symmetrization deferred (linear:
+            # sym(sum) == sum(sym))
+            f_a = t_a = o_a = None
             tra_off = jnp.asarray(self.offsets)
             for s0, s1 in self._slot_segments(chunks_per_dispatch=1):
                 f_s, t_s, o_s = engine.insert_fold_reduce(
                     self.mesh, col, row, pmask, dat[:, s0:s1], c[:, s0:s1],
                     jax.tree.map(lambda x: x[:, s0:s1], st_ins),
-                    keys[:, s0:s1], w_k[:, s0:s1], tra_off[:, s0:s1],
+                    keys[:, s0:s1], w_ins[:, s0:s1], tra_off[:, s0:s1],
                     sym_rots,
-                    mode=para.mode, pf=para.pf, n=self.n, k_classes=1,
-                    mc=mc, n_draw=n_draw, chunk=self._chunk(),
+                    mode=para.mode, pf=para.pf, n=self.n,
+                    k_classes=k_classes, mc=mc, n_draw=n_draw,
+                    chunk=self._chunk(),
                     insert_kernel=self._insert_kernel(), blob_a=para.a,
                     alpha=para.alpha, apply_sym=False,
                     insert_impl=self._insert_impl(),
                 )
-                f_ht = f_s if f_ht is None else f_ht + f_s
-                t_ht = t_s if t_ht is None else t_ht + t_s
-                offs_k = o_s if offs_k is None else offs_k + o_s
+                f_a = f_s if f_a is None else f_a + f_s
+                t_a = t_s if t_a is None else t_a + t_s
+                o_a = o_s if o_a is None else o_a + o_s
+            return f_a, t_a, o_a
+
+        f_all = t_all = offs_fused = None
+        if fused_k:
+            f_all, t_all, offs_fused = run_insert(para.k, state, w_img)
+
+        new_refs, fscs, half_maps, joined, offs_all = [], [], [], [], []
+        for k in range(para.k):
+            if fused_k:
+                f_ht, t_ht = f_all[:, k], t_all[:, k]
+                offs_k = offs_fused[:, k:k + 1]
+            else:
+                w_k = w_img * (par_c == k) if para.k > 1 else w_img
+                st_ins = {**state, "c": jnp.zeros_like(par_c)}
+                f_ht, t_ht, offs_k = run_insert(1, st_ins, w_k)
             if dims == 3 and (sym_rots.shape[0] or exact_ops):
                 f_ht, t_ht = engine.symmetrize_halves(
                     self.mesh, f_ht, t_ht, sym_rots, pf=para.pf,

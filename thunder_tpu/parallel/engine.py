@@ -460,12 +460,19 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
     (~121 ns/row on big accumulators); "sorted" = the Pallas sort-and-bin
     MXU path (ops.pallas_insert, ~17 ns/sample measured at the bench
     shape), 3D trilinear only — other modes fall back to scatter;
-    "sorted_interpret" = same in Pallas interpret mode (CPU tests)."""
+    "sorted_interpret" = same in Pallas interpret mode (CPU tests).
+
+    k_classes > 1 uses the CLASS-FUSED accumulator ((K mc^d + 1) rows,
+    each sample routed by its image's class like the reference's batched
+    InsertI2D, gpu/src/cuthunder.cu:3265): ONE insert pass for a whole
+    classification round instead of K staged passes. Outputs then carry a
+    class axis: f (2, K, mc^d..), t (2, K, mc^d..). The caller is
+    responsible for the K-fold accumulator fitting memory (the optimiser
+    falls back to per-class staging near the Nyquist band)."""
     from ..core import reconstructor
     from ..ops import brick as brick_ops
     from ..ops import pallas_insert
 
-    assert k_classes == 1, "classes are inserted sequentially (staging)"
     lh = 2 // mesh.shape[HALF_AXIS]
     n_vox = mc**2 if mode == "2d" else mc**3
     width = 12 if mode == "2d" else 24
@@ -548,7 +555,8 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                     bi = base.astype(jnp.int32) + mc // 2
                     idx = (bi[..., 0] * mc + bi[..., 1]) * mc + bi[..., 2]
                     valid = jnp.all((bi >= 0) & (bi < mc - 1), axis=-1)
-                    idx = jnp.where(valid, idx, mc**3)
+                    idx = idx + (cls * n_vox)[:, None, None]
+                    idx = jnp.where(valid, idx, k_classes * n_vox)
                     frac = (coords - base).astype(jnp.float32)
                     tab_lane = pallas_insert.sorted_insert_update(
                         tab_lane, idx.reshape(-1),
@@ -642,10 +650,23 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
             # fold this device's partial table NOW (linear: psum commutes)
             # so the next half's table can reuse its HBM, and psum the
             # 3-channel voxel arrays instead of the 24-wide brick table
-            if use_sorted:
-                f_c, t_c = brick_ops.fold_insert3_lane(tab, mc)
+            def fold_class(kc):
+                if use_sorted:
+                    # fold_insert3_lane reads [:mc^3] of the lane axis
+                    return brick_ops.fold_insert3_lane(
+                        tab[:, kc * n_vox:], mc)
+                # fold ignores the trailing row ([:-1]); for kc < K-1 the
+                # next class's first row stands in for the drop row
+                sub = jax.lax.slice_in_dim(tab, kc * n_vox,
+                                           (kc + 1) * n_vox + 1, axis=0)
+                return fold(sub)
+
+            if k_classes == 1:
+                f_c, t_c = fold_class(0)
             else:
-                f_c, t_c = fold(tab)
+                parts = [fold_class(kc) for kc in range(k_classes)]
+                f_c = jnp.stack([p[0] for p in parts])
+                t_c = jnp.stack([p[1] for p in parts])
             f_c = jax.lax.psum(f_c, DATA_AXIS)
             t_c = jax.lax.psum(t_c, DATA_AXIS)
             if apply_sym and mode != "2d" and (sym_rots_.shape[0]
@@ -657,14 +678,23 @@ def insert_fold_reduce(mesh, col, row, pmask, dat_ori, ctf, state, keys,
                 # symmetrization is linear, so sym(sum) == sum(sym), and
                 # repeating the expensive whole-grid gather per segment
                 # would waste it
-                f0, t0 = f_c, t_c
-                f_c, t_c = reconstructor.symmetrize_exact(
-                    f0, t0, exact_ops, (mc // 2 - 2) / pf, pf=pf)
-                if sym_rots_.shape[0]:
-                    f_g, t_g = reconstructor.symmetrize_cropped(
-                        f0, t0, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
-                    f_c = f_c + (f_g - f0)
-                    t_c = t_c + (t_g - t0)
+                def sym_one(f0, t0):
+                    fo, to = reconstructor.symmetrize_exact(
+                        f0, t0, exact_ops, (mc // 2 - 2) / pf, pf=pf)
+                    if sym_rots_.shape[0]:
+                        f_g, t_g = reconstructor.symmetrize_cropped(
+                            f0, t0, sym_rots_, (mc // 2 - 2) / pf, pf=pf)
+                        fo = fo + (f_g - f0)
+                        to = to + (t_g - t0)
+                    return fo, to
+
+                if k_classes == 1:
+                    f_c, t_c = sym_one(f_c, t_c)
+                else:
+                    parts = [sym_one(f_c[kc], t_c[kc])
+                             for kc in range(k_classes)]
+                    f_c = jnp.stack([p[0] for p in parts])
+                    t_c = jnp.stack([p[1] for p in parts])
             f_hs.append(f_c)
             t_hs.append(t_c)
             offs.append(jax.lax.psum(off, DATA_AXIS))
