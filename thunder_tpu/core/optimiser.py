@@ -801,12 +801,22 @@ class Optimiser:
         trans = sampling.sample_translations(kt, n_t, para.trans_s)
         tra = translation_phase(col, row, trans[:, 0], trans[:, 1], self.n)
 
+        import os as _os
+        scan_sync = _os.environ.get("THUNDER_SCAN_SYNC")
         bricks = self._bricks()
+        if scan_sync:
+            host_np(jnp.sum(bricks[:, :, 0, 0, 0, 0]))
+            self.log.info("scan_sync: bricks built")
         dat, c, sig_rcp = self._plane_ring_data(ring)
+        if scan_sync:
+            host_np(jnp.sum(sig_rcp[:, 0, 0]))
+            self.log.info("scan_sync: ring data ready")
         keys = self._iter_keys(salt=1)
         # bounded dispatches: one slot segment at a time (_slot_segments)
         sts = []
         for s0, s1 in self._slot_segments():
+            if scan_sync:
+                self.log.info("scan_sync: segment %d:%d dispatch", s0, s1)
             st_s, _wc_s = engine.scan_init(
                 self.mesh, bricks, rots, quats, tra, trans, col, row, pmask,
                 dat[:, s0:s1], c[:, s0:s1], sig_rcp[:, s0:s1],
@@ -815,6 +825,9 @@ class Optimiser:
                 m_l_t=para.m_l_t, m_l_d=para.m_l_d, chunk=self._chunk(),
                 fused=self._fused(),
             )
+            if scan_sync:
+                host_np(jnp.sum(st_s["c"]))
+                self.log.info("scan_sync: segment %d:%d done", s0, s1)
             sts.append(st_s)
         st = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *sts)
         st = jax.device_put(st, engine.plane_sharding(self.mesh))
