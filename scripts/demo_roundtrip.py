@@ -42,6 +42,10 @@ def main():
                     choices=("auto", "on", "off", "interpret"),
                     help="Pallas global-scan kernel switch (config "
                     "fused_kernels)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest Meta_Round_*.thu in "
+                    "--outdir (the reference's crash-recovery workflow: "
+                    "Global Search false + stored poses)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -78,12 +82,22 @@ def main():
     para.c_search = False  # defocus search adds rounds; quality oracle off
     para.image_batch = args.image_batch
     para.output_directory = out
-    para.save_ref_each_iter = para.save_thu_each_iter = False
+    para.save_ref_each_iter = False
+    # per-round .thu checkpoints: a crashed run resumes with --resume
+    # (saveTHUEachIter, the reference demo's default)
+    para.save_thu_each_iter = True
     para.fused_kernels = args.fused
     if args.init_res:
         para.init_res = args.init_res
     if args.m_s:
         para.m_s = args.m_s
+
+    import glob as _glob
+
+    metas = sorted(_glob.glob(os.path.join(out, "Meta_Round_*.thu")))
+    if args.resume and metas:
+        _resume_run(args, para, out, metas[-1])
+        return
 
     # ---- C4-symmetric phantom (the demo symmetry) ----
     # a few large blobs anchor the low frequencies; many FINE blobs
@@ -181,6 +195,75 @@ def main():
         "wall_s": round(wall, 1),
         "steady_iter_s": round(steady, 2),
         "particles_per_sec_full_iter": round(b / steady, 2),
+        "res_143_shell": res_shell, "res_143_A": round(res_a, 2),
+        "nyquist_A": round(2 * para.pixel_size, 2),
+        "final_internal_res_A": history[-1]["res_a"],
+        "timing_last": {k: round(v, 2)
+                        for k, v in history[-1]["timing"].items()},
+        "n_phase_last": history[-1]["n_phase"],
+    }))
+
+
+def _resume_run(args, para, out, meta_path):
+    """Continue a crashed run from its latest per-round checkpoint: the
+    reference's resume workflow (Global Search: false + the stored pose
+    columns, src/Optimiser.cpp:5312-5385)."""
+    import re
+    import numpy as np
+    import jax.numpy as jnp
+
+    from thunder_tpu.core.optimiser import Optimiser
+    from thunder_tpu.data import ParticleDataset
+    from thunder_tpu.io import read_mrc
+    from thunder_tpu.io.thu import ThuColumns
+    from thunder_tpu.ops import fft as fft_ops, spectrum
+
+    done = int(re.search(r"Meta_Round_(\d+)", meta_path).group(1))
+    print(f"resuming after round {done} from {meta_path}", flush=True)
+    para.g_search = False
+    ds = ParticleDataset(meta_path, particle_prefix=out, seed=para.seed)
+    opt = Optimiser(para)
+    opt.set_data_from_dataset(ds)
+    q, tr, d, cls = ds.poses()
+    t = ds.table
+    opt.load_poses(
+        q, tr, d, cls,
+        k123=(t.col(ThuColumns.K1), t.col(ThuColumns.K2),
+              t.col(ThuColumns.K3)),
+        std_t=(t.col(ThuColumns.STD_TRANSLATION_X),
+               t.col(ThuColumns.STD_TRANSLATION_Y)))
+    # latest saved half maps (if any) beat the initial model
+    import glob as _glob
+    refs = sorted(_glob.glob(os.path.join(out, "Reference_000_A_Round_*.mrc")))
+    if refs:
+        a = read_mrc(refs[-1])
+        b_m = read_mrc(refs[-1].replace("_A_", "_B_"))
+        opt.init_reference((a + b_m) / 2)
+    else:
+        opt.init_reference(read_mrc(para.init_model))
+    opt.iteration = done
+    opt.init_sigma()
+    t0 = time.perf_counter()
+    history = opt.run(max_iter=max(1, args.iters - done))
+    wall = time.perf_counter() - t0
+
+    vol = read_mrc(os.path.join(out, "phantom.mrc"))
+    joined = jnp.asarray(opt.joined_maps[0])
+    n = para.size
+    fsc_truth = spectrum.frc_fsc(
+        fft_ops.fft3_center(joined), fft_ops.fft3_center(jnp.asarray(vol)),
+        n // 2, 3)
+    res_shell = int(spectrum.res_p(fsc_truth, 0.143, r_low=1))
+    res_a = n * para.pixel_size / max(res_shell, 1)
+    iter_times = [sum(h["timing"].values()) for h in history]
+    steady = float(np.median(iter_times[1:])) if len(iter_times) > 1 else \
+        iter_times[0]
+    print(json.dumps({
+        "resumed_after_round": done,
+        "particles": args.particles, "size": n, "iters": len(history),
+        "wall_s": round(wall, 1),
+        "steady_iter_s": round(steady, 2),
+        "particles_per_sec_full_iter": round(args.particles / steady, 2),
         "res_143_shell": res_shell, "res_143_A": round(res_a, 2),
         "nyquist_A": round(2 * para.pixel_size, 2),
         "final_internal_res_A": history[-1]["res_a"],
