@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--n", type=int, default=160)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--full", action="store_true",
+                    help="use the FULL table (default: Hermitian half)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,11 @@ def main():
     key = jax.random.PRNGKey(0)
 
     n_chan = 8 if args.bf16 else 16
-    flat = jnp.asarray(rng.normal(size=(mc ** 3, n_chan)).astype(np.float32))
+    half = not args.full
+    n_vox = mc ** 3 if args.full else (mc // 2 + 1) * mc * mc
+    print(f"[bisect] table: {'full' if args.full else 'half'} "
+          f"{n_vox} rows ({n_vox * n_chan * 4 / 1e6:.0f} MB)", flush=True)
+    flat = jnp.asarray(rng.normal(size=(n_vox, n_chan)).astype(np.float32))
     q0 = np.asarray(quat.random_quat(key, b))
     st = {
         "r": jnp.asarray(np.repeat(q0[:, None, :], R, 1).astype(np.float32)),
@@ -100,7 +106,7 @@ def main():
                 coords = projector.slice_coords_3d(rots, e["col"], e["row"],
                                                    pf=2)
                 proj = _fused_class_gather(e["flat"], coords, e["cls"], mc,
-                                           "3d")
+                                           "3d", half=half)
                 if level == 1:
                     # fold a scalar of proj back in so it isn't DCE'd
                     return {**st2,

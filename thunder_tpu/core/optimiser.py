@@ -63,9 +63,13 @@ def _built_tabs(refs, mode, r_band, pf, bf16):
     if mode == "2d":
         return projector.build_brick_projectee_2d(refs, r_band, pf=pf,
                                                   dtype=dt)
+    # Hermitian half-space tables: exact for the (real) reference maps,
+    # half the memory, and the fast v5e gather regime through the ladder
+    # (brick.pack_vol3_half, scripts/gather_size_probe.py)
     return jax.vmap(jax.vmap(
         lambda v: projector.build_brick_projectee_3d(v, r_band, pf=pf,
-                                                     dtype=dt)))(refs)
+                                                     dtype=dt,
+                                                     half=True)))(refs)
 
 
 @partial(jax.jit, static_argnames=("n", "pixel_size"))

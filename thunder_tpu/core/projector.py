@@ -102,16 +102,21 @@ def project_pixels_2d(img_ft, rot, col, row, pf=2, interp="linear"):
 
 
 def build_brick_projectee_3d(vol_rl, r_max, pf=2, interp="linear",
-                             grid_correct=True, dtype=jnp.float32):
+                             grid_correct=True, dtype=jnp.float32,
+                             half=False):
     """Real-space volume (n, n, n) -> band-cropped brick gather table
     (mc, mc, mc, 16). ``r_max`` is the highest image shell the E-step will
     touch (the ladder's r); the table only stores |k| <= r_max * pf, which
     keeps it small through most of the frequency ladder (ops.brick).
-    ``dtype=bfloat16`` halves gather cost on TPU (see brick.pack_vol3)."""
+    ``dtype=bfloat16`` halves gather cost on TPU (see brick.pack_vol3);
+    ``half=True`` stores the Hermitian half-space only (z >= 0,
+    brick.pack_vol3_half) — exact for real volumes, half the memory, and
+    the faster v5e gather regime for bands up to mc = 196."""
     ft = build_projectee_3d(vol_rl, pf=pf, interp=interp,
                             grid_correct=grid_correct)
     mc = brick.crop_size(r_max, pf)
-    return brick.pack_vol3(brick.crop_center_ft(ft, mc), dtype=dtype)
+    pack = brick.pack_vol3_half if half else brick.pack_vol3
+    return pack(brick.crop_center_ft(ft, mc), dtype=dtype)
 
 
 def build_brick_projectee_2d(img_rl, r_max, pf=2, interp="linear",
@@ -152,8 +157,12 @@ def slice_coords_2d(rot, col, row, pf=2):
 def project_brick_3d(tab, rot, col, row, pf=2):
     """Central-slice projection via the brick table: one width-16 row fetch
     per sample (the TPU replacement for the CUDA texture fetch,
-    gpu/src/Kernel.cu:625-786)."""
-    return brick.gather_vol3(tab, slice_coords_3d(rot, col, row, pf=pf))
+    gpu/src/Kernel.cu:625-786). Half-space tables (pack_vol3_half, z axis
+    shorter than y/x) gather with the conjugate-mirror fetch."""
+    coords = slice_coords_3d(rot, col, row, pf=pf)
+    if tab.shape[0] != tab.shape[1]:
+        return brick.gather_vol3_half(tab, coords)
+    return brick.gather_vol3(tab, coords)
 
 
 def project_brick_2d(tab, rot, col, row, pf=2):

@@ -137,6 +137,78 @@ def gather_vol3(tab, coords):
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 
+def half_rows(mc):
+    """z-rows of a Hermitian half-space table (centered z in [0, mc//2])."""
+    return mc // 2 + 1
+
+
+def pack_vol3_half(vol_ft, dtype=jnp.float32):
+    """Hermitian half-space gather table: pack_vol3 bricks at centered
+    z >= 0 only ((mc//2 + 1, mc, mc, C)).
+
+    For the spectrum of a REAL volume F(-k) = conj(F(k)), so samples with
+    z < 0 can fetch at -k and conjugate (gather_vol3_half) — the reference
+    projector's own conjugate-mirror fetch (src/Projector.cpp:222-356,
+    MESH_FOR... half-spectrum convention). This halves the table, which on
+    v5e moves the dominant E-step gather from the ~14.8 ns/idx regime
+    (tables >= 4M rows) to the ~5.15 ns/idx regime (< 4M rows) for every
+    band up to mc = 196 (scripts/gather_size_probe.py)."""
+    mc = vol_ft.shape[0]
+    return pack_vol3(vol_ft, dtype=dtype)[mc // 2:]
+
+
+def _corners3_half(coords, mc):
+    """Mirror-to-upper-half trilinear corners.
+
+    Returns (idx, w8, valid, sgn): idx into the flat (half_rows(mc)*mc*mc)
+    half table, sgn = -1 where the sample was mirrored (imag conjugation).
+    Matches _corners3's validity for all in-band samples (|coord| <=
+    mc//2 - 2, the crop margin guarantees this); only exact-integer
+    samples AT the crop boundary |z| == mc//2 differ, which the +2 crop
+    margin keeps out of reach."""
+    sgn = jnp.where(coords[..., 0] < 0, -1.0, 1.0).astype(jnp.float32)
+    cm = coords * sgn[..., None]
+    base = jnp.floor(cm)
+    frac = (cm - base).astype(jnp.float32)
+    bi = base.astype(jnp.int32)
+    bz = bi[..., 0]
+    by = bi[..., 1] + mc // 2
+    bx = bi[..., 2] + mc // 2
+    idx = (bz * mc + by) * mc + bx
+    valid = ((bz >= 0) & (bz < mc // 2)
+             & (by >= 0) & (by < mc - 1)
+             & (bx >= 0) & (bx < mc - 1))
+    fz, fy, fx = frac[..., 0], frac[..., 1], frac[..., 2]
+    wz = jnp.stack([1 - fz, fz], -1)
+    wy = jnp.stack([1 - fy, fy], -1)
+    wx = jnp.stack([1 - fx, fx], -1)
+    w8 = (wz[..., :, None, None] * wy[..., None, :, None]
+          * wx[..., None, None, :]).reshape(coords.shape[:-1] + (8,))
+    return idx, w8, valid, sgn
+
+
+def gather_vol3_half(tab, coords):
+    """Trilinear complex gather from a pack_vol3_half table; same result
+    as gather_vol3 on the full table when the packed volume is Hermitian
+    (exactly Hermitian input -> bitwise-identical interpolation; FFT-of-
+    real input -> equal up to the FFT's own f32 asymmetry ~1e-6)."""
+    hz, mc = tab.shape[0], tab.shape[1]
+    n_chan = tab.shape[-1]
+    idx, w8, valid, sgn = _corners3_half(coords, mc)
+    idx = jnp.where(valid, idx, 0)
+    rows = jnp.take(tab.reshape(hz * mc * mc, n_chan), idx.reshape(-1),
+                    axis=0)
+    rows = rows.reshape(idx.shape + (n_chan,))
+    if n_chan == 8:  # packed bf16 pairs, one lane per corner
+        rr, ri = unpack_pair_rows(rows)
+    else:
+        rows = rows.astype(jnp.float32)
+        rr, ri = rows[..., :8], rows[..., 8:]
+    re = jnp.sum(rr * w8, -1)
+    im = jnp.sum(ri * w8, -1) * sgn
+    return jnp.where(valid, jax.lax.complex(re, im), 0.0)
+
+
 def pack_real3(*vols):
     """Pack C real cropped volumes into a (mc, mc, mc, 8C) gather table."""
     mc = vols[0].shape[0]

@@ -121,15 +121,30 @@ def _project_class_stack(bricks_h, rots, col, row, pf, mode):
     )(bricks_h)
 
 
-def _fused_class_gather(flat, coords, cls, mc, mode):
+def _brick_geom(bricks, mode):
+    """(mc, is_half) of a (2, K, ...) brick-table stack. 3D Hermitian
+    half-space tables (brick.pack_vol3_half) have a shorter z axis."""
+    mc = bricks.shape[-2]
+    if mode == "2d":
+        return mc, False
+    return mc, bricks.shape[-4] != mc
+
+
+def _fused_class_gather(flat, coords, cls, mc, mode, half=False):
     """Gather each image's slice from ITS class's brick table: one fused
     row-fetch with the class folded into the flat index (no K-fold
     projection + select; src/Optimiser.cpp:925-955 evaluates only the drawn
-    class in phase B). flat: (K * mc^d, 2 * corners) f32 table or
-    (K * mc^d, corners) packed-bf16-pair table (brick.pack_vol3)."""
+    class in phase B). flat: (K * n_vox, 2 * corners) f32 table or
+    (K * n_vox, corners) packed-bf16-pair table (brick.pack_vol3);
+    ``half=True`` for 3D Hermitian half-space tables (pack_vol3_half,
+    conjugate-mirror fetch for z < 0 samples)."""
+    sgn = None
     if mode == "2d":
         idx, w_c, valid = brick._corners2(coords, mc)
         n_vox, n_corner = mc**2, 4
+    elif half:
+        idx, w_c, valid, sgn = brick._corners3_half(coords, mc)
+        n_vox, n_corner = brick.half_rows(mc) * mc * mc, 8
     else:
         idx, w_c, valid = brick._corners3(coords, mc)
         n_vox, n_corner = mc**3, 8
@@ -145,6 +160,8 @@ def _fused_class_gather(flat, coords, cls, mc, mode):
         rr, ri = rows[..., :n_corner], rows[..., n_corner:]
     re = jnp.sum(rr * w_c, -1)
     im = jnp.sum(ri * w_c, -1)
+    if sgn is not None:
+        im = im * sgn
     return jnp.where(valid, jax.lax.complex(re, im), 0.0)
 
 
@@ -269,7 +286,7 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
               cp, sym_quats, factor_l, factor_s, factor_d, phase0):
         # everything phase_fn touches is a shard-local value from this scope
         def phase_fn(phase, st, d_px, c_px, s_px, cpv, active, keys_c,
-                     flat_tab, mc):
+                     flat_tab, mc, half_t):
             """One phase: perturb -> fused-class project -> factored
             likelihood -> posterior update; frozen images pass through."""
             kph = jax.vmap(jax.random.fold_in)(keys_c, jnp.full(
@@ -304,7 +321,8 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                 coords = projector.slice_coords_2d(rots, col, row, pf=pf)
             else:
                 coords = projector.slice_coords_3d(rots, col, row, pf=pf)
-            proj = _fused_class_gather(flat_tab, coords, st["c"], mc, mode)
+            proj = _fused_class_gather(flat_tab, coords, st["c"], mc, mode,
+                                       half=half_t)
             tra = translation_phase(col, row, st["t"][..., 0],
                                     st["t"][..., 1], n)
             ctf_d = None
@@ -341,13 +359,13 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
 
         outs = []
         for h in range(lh):
-            mc = bricks.shape[2]
+            mc, half_t = _brick_geom(bricks, mode)
             n_chan = bricks.shape[-1]
             flat = bricks[h].reshape((-1, n_chan))
             s_loc = dat.shape[1]
             st_h = jax.tree.map(lambda x: x[h], state)
 
-            def chunk_fn(args, flat_tab=flat, mc_=mc):
+            def chunk_fn(args, flat_tab=flat, mc_=mc, half_=half_t):
                 st_all, d, c, s, ky, cpv = args
                 st0 = {k: v for k, v in st_all.items()
                        if k not in ("_done", "_noDec", "_nph")}
@@ -360,7 +378,7 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                 def body(carry):
                     phase, st, no_dec, done, nph = carry
                     st2, shrank = phase_fn(phase, st, d, c, s, cpv, ~done,
-                                           ky, flat_tab, mc_)
+                                           ky, flat_tab, mc_, half_)
                     chk = phase >= min_phase
                     no_dec = jnp.where(
                         chk & ~done, jnp.where(shrank, 0, no_dec + 1), no_dec)
@@ -830,7 +848,7 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
         aa = jnp.zeros((n_groups, n_shell), jnp.float32)
         norms = []
         for h in range(lh):
-            mc = bricks.shape[2]
+            mc, half_t = _brick_geom(bricks, mode)
             n_chan = bricks.shape[-1]
             flat = bricks[h].reshape((-1, n_chan))
             st_h = jax.tree.map(lambda x: x[h], state)
@@ -846,7 +864,8 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                 else:
                     coords = projector.slice_coords_3d(rots, col_, row_,
                                                        pf=pf)
-                pri = _fused_class_gather(flat, coords, cls, mc, mode)[:, 0]
+                pri = _fused_class_gather(flat, coords, cls, mc, mode,
+                                          half=half_t)[:, 0]
                 t_o = topt - off
                 tra_o = translation_phase(col_, row_, t_o[:, 0], t_o[:, 1], n)
                 tra_m = translation_phase(col_, row_, topt[:, 0],
