@@ -240,7 +240,11 @@ def _resume_run(args, para, out, meta_path):
         b_m = read_mrc(refs[-1].replace("_A_", "_B_"))
         opt.init_reference((a + b_m) / 2)
     else:
-        opt.init_reference(read_mrc(para.init_model))
+        # config paths are relative to the run directory
+        p = para.init_model
+        if not os.path.isabs(p):
+            p = os.path.join(out, p)
+        opt.init_reference(read_mrc(p))
     opt.iteration = done
     opt.init_sigma()
     t0 = time.perf_counter()

@@ -126,3 +126,102 @@ def test_half_gather_boundary_and_out_of_band():
     b = np.asarray(brick.gather_vol3_half(half, coords))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     assert a[0] == 0 and a[1] == 0
+
+
+# ------------------------------------------------------- radius tiering
+
+def test_tier_gather_matches_single_table():
+    """engine._tier_gather: inner pixels from the central crop, outer from
+    the big table — equals one big-table gather."""
+    from thunder_tpu.core.optimiser import _tier_r_in
+    from thunder_tpu.parallel.engine import _tier_gather
+
+    rng = np.random.default_rng(5)
+    mc, mc_in = 33, 21
+    ft = _hermitian_spectrum(rng, mc)
+    big = brick.pack_vol3_half(ft)
+    off = mc // 2 - mc_in // 2
+    inner = big[: mc_in // 2 + 1, off:off + mc_in, off:off + mc_in, :]
+    b, r_sup, p, p_in = 4, 3, 128, 64
+    r_inner = mc_in // 2 - 2
+    c_in = _ball_coords(rng, b * r_sup * p_in, r_inner)
+    c_out = _ball_coords(rng, b * r_sup * (p - p_in), mc // 2 - 2)
+    coords = jnp.concatenate(
+        [c_in.reshape(b, r_sup, p_in, 3),
+         c_out.reshape(b, r_sup, p - p_in, 3)], axis=2)
+    cls = jnp.zeros((b,), jnp.int32)
+    ref = _tier_gather(big.reshape(-1, 16), None, coords, cls, mc, 0,
+                       "3d", True, 0)
+    out = _tier_gather(big.reshape(-1, 16), inner.reshape(-1, 16), coords,
+                       cls, mc, mc_in, "3d", True, p_in)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+    # p_in >= P: everything through the inner table
+    all_in = _ball_coords(rng, b * r_sup * p, r_inner).reshape(
+        b, r_sup, p, 3)
+    a2 = _tier_gather(big.reshape(-1, 16), inner.reshape(-1, 16), all_in,
+                      cls, mc, mc_in, "3d", True, p)
+    r2 = _tier_gather(big.reshape(-1, 16), None, all_in, cls, mc, 0,
+                      "3d", True, 0)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(r2),
+                               rtol=1e-5, atol=1e-5)
+    # tier band selection: under the cliff no tier band needed at 40,
+    # r_band 56 tiers at 48 (mc=197 -> 3.84M rows < 4M)
+    assert _tier_r_in(56, 2) == 48
+    assert _tier_r_in(96, 2) == 48
+
+
+def test_pixel_ring_sorted_and_n_inner():
+    from thunder_tpu.ops import pixels
+
+    ring = pixels.pixel_ring(64, 0, 20)
+    u2 = (ring.col.astype(np.int64) ** 2 + ring.row.astype(np.int64) ** 2)
+    real = ring.mask > 0
+    assert np.all(np.diff(u2[real]) >= 0)  # sorted by radius
+    p_in = ring.n_inner(10.0)
+    assert 0 < p_in < ring.n_real
+    assert np.all(u2[real][:p_in] <= 100)
+    assert np.all(u2[real][p_in:] > 100)
+
+
+def test_refinement_identical_with_forced_tiering(monkeypatch, tmp_path):
+    """End-to-end: a refinement iteration with the radius tier FORCED on
+    (tiny THUNDER_TIER_ROWS) produces the same posteriors as untiered —
+    the tier split is a pure gather-routing change."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_optimiser_e2e import _make_dataset
+    from thunder_tpu.config import Para
+    from thunder_tpu.core.optimiser import Optimiser
+
+    n = 32
+    vol, imgs, quats, trans, ctf_params = _make_dataset(n=n, n_imgs=32)
+
+    def run(tier_env):
+        if tier_env:
+            monkeypatch.setenv("THUNDER_TIER_ROWS", tier_env)
+        else:
+            monkeypatch.delenv("THUNDER_TIER_ROWS", raising=False)
+        para = Para(mode="3d", k=1, size=n, pixel_size=1.32,
+                    mask_radius=n * 1.32 / 2.2, trans_s=2.0,
+                    init_res=3.2, global_search_res=2.8, sym="C1",
+                    m_s=400, m_l_r=32, m_l_t=9, m_reco=8,
+                    trans_search_factor=0.25, l_search=True, pf=2, seed=5)
+        opt = Optimiser(para)
+        opt.set_data(imgs, ctf_params)
+        opt.init_reference(vol=vol)
+        opt.init_sigma()
+        opt.run(max_iter=1)
+        return (np.asarray(opt.par["topR"]), np.asarray(opt.par["topT"]),
+                np.asarray(opt.refs[0, 0]), opt._bricks())
+
+    # init_res 3.2 A at 1.32 A/px, n=32 -> r ~= 13: big table mc=69
+    # (166k rows), tier band r_in=8 (mc=37, 26k rows) with threshold 1e5
+    t_r, t_t, t_map, t_bricks = run("100000")
+    assert isinstance(t_bricks, tuple), "tier did not trigger"
+    u_r, u_t, u_map, u_bricks = run(None)
+    assert not isinstance(u_bricks, tuple)
+    np.testing.assert_allclose(t_r, u_r, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(t_t, u_t, rtol=2e-3, atol=2e-3)
+    corr = np.corrcoef(t_map.ravel(), u_map.ravel())[0, 1]
+    assert corr > 0.9999, corr

@@ -54,22 +54,59 @@ SEARCH_TYPE_LOCAL = 1
 SEARCH_TYPE_CTF = 2
 SEARCH_TYPE_STOP = 3
 
-@partial(jax.jit, static_argnames=("mode", "r_band", "pf", "bf16"))
-def _built_tabs(refs, mode, r_band, pf, bf16):
+# v5e row-gather cliff: < 4M-row tables gather at ~5.15 ns/idx, >= 4M at
+# ~14.8 ns/idx (scripts/gather_size_probe.py); tables past the cliff get a
+# radius-tiered inner crop below it
+TIER_ROWS = 4_000_000
+
+
+def _tier_r_in(r_band, pf, tier_rows=TIER_ROWS):
+    """Largest 8-multiple band whose half-space table stays under the v5e
+    gather cliff (0 if none)."""
+    from ..ops import brick as brick_ops
+    best, r = 0, 8
+    while r < r_band:
+        mc = brick_ops.crop_size(r, pf)
+        if brick_ops.half_rows(mc) * mc * mc < tier_rows:
+            best = r
+        r += 8
+    return best
+
+
+@partial(jax.jit, static_argnames=("mode", "r_band", "pf", "bf16",
+                                   "tier_rows"))
+def _built_tabs(refs, mode, r_band, pf, bf16, tier_rows=TIER_ROWS):
     """All-class brick tables (2, K, ...) as ONE compiled program — the
     eager build is ~30 dispatches x padded-volume FFTs, which costs seconds
-    of round-trip latency per iteration on a remote-TPU backend."""
+    of round-trip latency per iteration on a remote-TPU backend.
+
+    3D tables are Hermitian half-space (brick.pack_vol3_half): exact for
+    the (real) reference maps, half the memory, and the fast v5e gather
+    regime for every band up to mc = 196. Past the gather cliff the
+    return value becomes a radius-TIERED pair (big, inner): inner is a
+    central crop under the cliff, used for the (majority, by disk area)
+    pixels whose samples stay inside it (engine._tier_gather; the crop's
+    rows are identical to the big table's, so the split is exact)."""
+    from ..ops import brick as brick_ops
+
     dt = jnp.bfloat16 if bf16 else jnp.float32
     if mode == "2d":
         return projector.build_brick_projectee_2d(refs, r_band, pf=pf,
                                                   dtype=dt)
-    # Hermitian half-space tables: exact for the (real) reference maps,
-    # half the memory, and the fast v5e gather regime through the ladder
-    # (brick.pack_vol3_half, scripts/gather_size_probe.py)
-    return jax.vmap(jax.vmap(
+    tabs = jax.vmap(jax.vmap(
         lambda v: projector.build_brick_projectee_3d(v, r_band, pf=pf,
                                                      dtype=dt,
                                                      half=True)))(refs)
+    mc = tabs.shape[-2]
+    if brick_ops.half_rows(mc) * mc * mc >= tier_rows:
+        r_in = _tier_r_in(r_band, pf, tier_rows)
+        if r_in > 0:
+            mc_in = brick_ops.crop_size(r_in, pf)
+            off = mc // 2 - mc_in // 2
+            inner = tabs[..., :mc_in // 2 + 1, off:off + mc_in,
+                         off:off + mc_in, :]
+            return tabs, inner
+    return tabs
 
 
 @partial(jax.jit, static_argnames=("n", "pixel_size"))
@@ -701,9 +738,20 @@ class Optimiser:
         # one jitted program for the whole (2, K) table build: eagerly this
         # is ~30 dispatches x padded-volume FFTs over the remote tunnel
         # (seconds of round-trip latency per iteration)
+        import os as _os
+        tier_rows = int(_os.environ.get("THUNDER_TIER_ROWS", TIER_ROWS))
         tabs = _built_tabs(jnp.asarray(self.refs), para.mode, r_band,
-                           para.pf, para.table_bf16)
+                           para.pf, para.table_bf16, tier_rows=tier_rows)
         return jax.device_put(tabs, engine.half_sharding(self.mesh))
+
+    def _tier_p_in(self, bricks, ring):
+        """Static inner-pixel count for a radius-tiered (big, inner) brick
+        pair: pixels with |k| <= the inner crop's band gather from it (the
+        ring is sorted by |k|, ops.pixels.pixel_ring)."""
+        if not isinstance(bricks, tuple):
+            return 0
+        mc_in = bricks[1].shape[-2]
+        return ring.n_inner((mc_in // 2 - 2) / self.para.pf)
 
     def _plane_ring_data(self, ring, ori=False, refined_defocus=False):
         """Observed pixels, CTF and sigma reciprocal on the ring in
@@ -809,7 +857,8 @@ class Optimiser:
         scan_sync = _os.environ.get("THUNDER_SCAN_SYNC")
         bricks = self._bricks()
         if scan_sync:
-            host_np(jnp.sum(bricks[:, :, 0, 0, 0, 0]))
+            b0 = bricks[0] if isinstance(bricks, tuple) else bricks
+            host_np(jnp.sum(b0[:, :, 0, 0, 0, 0]))
             self.log.info("scan_sync: bricks built")
         dat, c, sig_rcp = self._plane_ring_data(ring)
         if scan_sync:
@@ -827,7 +876,7 @@ class Optimiser:
                 keys[:, s0:s1],
                 mode=para.mode, pf=para.pf, m_l_r=para.m_l_r,
                 m_l_t=para.m_l_t, m_l_d=para.m_l_d, chunk=self._chunk(),
-                fused=self._fused(),
+                fused=self._fused(), p_in=self._tier_p_in(bricks, ring),
             )
             if scan_sync:
                 host_np(jnp.sum(st_s["c"]))
@@ -917,7 +966,7 @@ class Optimiser:
                     mode=para.mode, pf=para.pf, n=self.n,
                     pixel_size=para.pixel_size, ctf_search=ctf_search,
                     min_phase=min_phase, chunk=chunk_eff,
-                    n_phases=blk_cur,
+                    n_phases=blk_cur, p_in=self._tier_p_in(bricks, ring),
                 )
                 phase += blk_cur
                 blk_cur = block_tail
@@ -1016,7 +1065,7 @@ class Optimiser:
                 groups[:, s0:s1], valid[:, s0:s1], tra_off[:, s0:s1],
                 mode=self.para.mode, pf=self.para.pf, n=self.n,
                 n_groups=self.n_groups, n_shell=self.n // 2,
-                chunk=self._chunk(),
+                chunk=self._chunk(), p_in=self._tier_p_in(bricks, ring),
             )
             sig_sums = sg if sig_sums is None else sig_sums + sg
             cnt = ct if cnt is None else cnt + ct

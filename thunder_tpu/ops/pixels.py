@@ -47,6 +47,15 @@ class PixelRing:
     def n(self):
         return len(self.col)
 
+    def n_inner(self, r):
+        """Count of real pixels with |k| <= r. Valid as a static split
+        point because real pixels are sorted by |k| (pads at the end
+        belong to the outer segment; they are masked out downstream)."""
+        u2 = (self.col.astype(np.float64) ** 2
+              + self.row.astype(np.float64) ** 2)
+        return int(np.count_nonzero((u2 <= float(r) ** 2)
+                                    & (self.mask > 0)))
+
 
 def _bucket_size(n_real, bucket):
     """Smallest allowed padded size >= n_real: {256, 512, 1024} for small
@@ -74,6 +83,11 @@ def pixel_ring(size, r_low, r_high, bucket=PIXEL_BUCKET):
     col = ii[keep].astype(np.int32)
     row = jj[keep].astype(np.int32)
     sig = v[keep].astype(np.int32)
+    # sort real pixels by |k| so a radius-tiered gather can split the
+    # pixel axis statically (inner pixels gather from a smaller — faster —
+    # table crop; every consumer treats the list as an unordered set)
+    order = np.argsort(u2[keep], kind="stable")
+    col, row, sig = col[order], row[order], sig[order]
     n_real = len(col)
     n_pad = _bucket_size(n_real, bucket)
     pad = n_pad - n_real

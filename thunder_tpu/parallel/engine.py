@@ -121,6 +121,41 @@ def _project_class_stack(bricks_h, rots, col, row, pf, mode):
     )(bricks_h)
 
 
+def _split_bricks(bricks):
+    """Brick tables arrive either as one (2, K, ...) stack or as a
+    radius-tiered pair (big, inner) (optimiser._built_tabs: inner is a
+    central crop of the big half-space table, used for pixels whose
+    3D samples stay inside it — the crop sits below the v5e 4M-row
+    gather cliff, the big table above it)."""
+    if isinstance(bricks, tuple):
+        return bricks
+    return bricks, None
+
+
+def _brick_spec(bricks):
+    """shard_map in_spec matching the (possibly tiered) brick pytree."""
+    return jax.tree.map(lambda _: P(HALF_AXIS), bricks)
+
+
+def _tier_gather(flat_big, flat_in, coords, cls, mc, mc_in, mode, half,
+                 p_in):
+    """Radius-tiered fused class gather: the first ``p_in`` pixels (the
+    ring is sorted by |k|, ops.pixels) gather from the inner table crop,
+    the rest from the big table. Exact: inner-tier samples are valid in
+    both tables and the crop's rows equal the big table's."""
+    if flat_in is None or p_in <= 0:
+        return _fused_class_gather(flat_big, coords, cls, mc, mode,
+                                   half=half)
+    if p_in >= coords.shape[-2]:
+        return _fused_class_gather(flat_in, coords, cls, mc_in, mode,
+                                   half=True)
+    a = _fused_class_gather(flat_in, coords[..., :p_in, :], cls, mc_in,
+                            mode, half=True)
+    b = _fused_class_gather(flat_big, coords[..., p_in:, :], cls, mc,
+                            mode, half=half)
+    return jnp.concatenate([a, b], axis=-1)
+
+
 def _brick_geom(bricks, mode):
     """(mc, is_half) of a (2, K, ...) brick-table stack. 3D Hermitian
     half-space tables (brick.pack_vol3_half) have a shorter z axis."""
@@ -195,10 +230,10 @@ def _fused_class_insert(tab, coords, cls, fv, tv, mc, mode,
 # ------------------------------------------------------------- global scan
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "m_l_r", "m_l_t",
-                                   "m_l_d", "chunk", "fused"))
+                                   "m_l_d", "chunk", "fused", "p_in"))
 def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
               dat, ctf, sig_rcp, keys, *, mode, pf, m_l_r, m_l_t, m_l_d,
-              chunk, fused="off"):
+              chunk, fused="off", p_in=0):
     """Phase A: dense pose scan for every image against its hemisphere's
     class references, fused with the particle-filter seeding
     (src/Optimiser.cpp:633-1136). No collectives — per-image work only.
@@ -213,9 +248,21 @@ def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
 
     def local(bricks, rots, quats, tra, trans, col, row, pmask,
               dat, ctf, sig_rcp, keys):
+        big, inner = _split_bricks(bricks)
         outs, wcs = [], []
         for h in range(lh):
-            proj = _project_class_stack(bricks[h], rots, col, row, pf, mode)
+            if inner is None or p_in <= 0:
+                proj = _project_class_stack(big[h], rots, col, row, pf,
+                                            mode)
+            elif p_in >= col.shape[0]:
+                proj = _project_class_stack(inner[h], rots, col, row, pf,
+                                            mode)
+            else:
+                pa = _project_class_stack(inner[h], rots, col[:p_in],
+                                          row[:p_in], pf, mode)
+                pb = _project_class_stack(big[h], rots, col[p_in:],
+                                          row[p_in:], pf, mode)
+                proj = jnp.concatenate([pa, pb], axis=-1)
             s_loc = dat.shape[1]
 
             def chunk_fn(args, proj=proj):
@@ -243,7 +290,7 @@ def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS),) + (P(),) * 7
+        in_specs=(_brick_spec(bricks),) + (P(),) * 7
         + (P(HALF_AXIS, DATA_AXIS),) * 4,
         out_specs=(P(HALF_AXIS, DATA_AXIS), P(HALF_AXIS, DATA_AXIS)),
         check_vma=False,
@@ -255,11 +302,11 @@ def scan_init(mesh, bricks, rots, quats, tra, trans, col, row, pmask,
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "pixel_size",
                                    "ctf_search", "min_phase", "chunk",
-                                   "n_phases"))
+                                   "n_phases", "p_in"))
 def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                  keys, cp, sym_quats, factor_l, factor_s, factor_d, phase0,
                  *, mode, pf, n, pixel_size, ctf_search, min_phase, chunk,
-                 n_phases):
+                 n_phases, p_in=0):
     """Phase B: a BLOCK of ``n_phases`` particle-filter refinement phases,
     device-resident (src/Optimiser.cpp:1138-1660). Each image chunk runs a
     masked ``lax.while_loop`` with the reference's termination rule.
@@ -286,7 +333,7 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
               cp, sym_quats, factor_l, factor_s, factor_d, phase0):
         # everything phase_fn touches is a shard-local value from this scope
         def phase_fn(phase, st, d_px, c_px, s_px, cpv, active, keys_c,
-                     flat_tab, mc, half_t):
+                     flat_tab, flat_in, mc, mc_in, half_t):
             """One phase: perturb -> fused-class project -> factored
             likelihood -> posterior update; frozen images pass through."""
             kph = jax.vmap(jax.random.fold_in)(keys_c, jnp.full(
@@ -321,8 +368,8 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                 coords = projector.slice_coords_2d(rots, col, row, pf=pf)
             else:
                 coords = projector.slice_coords_3d(rots, col, row, pf=pf)
-            proj = _fused_class_gather(flat_tab, coords, st["c"], mc, mode,
-                                       half=half_t)
+            proj = _tier_gather(flat_tab, flat_in, coords, st["c"], mc,
+                                mc_in, mode, half_t, p_in)
             tra = translation_phase(col, row, st["t"][..., 0],
                                     st["t"][..., 1], n)
             ctf_d = None
@@ -357,15 +404,21 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
             shrank = particle.vari_shrank(out, prev_vari, mode=mode)
             return out, shrank
 
+        big, inner = _split_bricks(bricks)
         outs = []
         for h in range(lh):
-            mc, half_t = _brick_geom(bricks, mode)
-            n_chan = bricks.shape[-1]
-            flat = bricks[h].reshape((-1, n_chan))
+            mc, half_t = _brick_geom(big, mode)
+            n_chan = big.shape[-1]
+            flat = big[h].reshape((-1, n_chan))
+            flat_in, mc_in = None, 0
+            if inner is not None:
+                mc_in = inner.shape[-2]
+                flat_in = inner[h].reshape((-1, n_chan))
             s_loc = dat.shape[1]
             st_h = jax.tree.map(lambda x: x[h], state)
 
-            def chunk_fn(args, flat_tab=flat, mc_=mc, half_=half_t):
+            def chunk_fn(args, flat_tab=flat, flat_in_=flat_in, mc_=mc,
+                         mc_in_=mc_in, half_=half_t):
                 st_all, d, c, s, ky, cpv = args
                 st0 = {k: v for k, v in st_all.items()
                        if k not in ("_done", "_noDec", "_nph")}
@@ -378,7 +431,8 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
                 def body(carry):
                     phase, st, no_dec, done, nph = carry
                     st2, shrank = phase_fn(phase, st, d, c, s, cpv, ~done,
-                                           ky, flat_tab, mc_, half_)
+                                           ky, flat_tab, flat_in_, mc_,
+                                           mc_in_, half_)
                     chk = phase >= min_phase
                     no_dec = jnp.where(
                         chk & ~done, jnp.where(shrank, 0, no_dec + 1), no_dec)
@@ -410,7 +464,7 @@ def local_search(mesh, bricks, col, row, pmask, dat, ctf, sig_rcp, state,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS),) + (P(),) * 3
+        in_specs=(_brick_spec(bricks),) + (P(),) * 3
         + (P(HALF_AXIS, DATA_AXIS),) * 6 + (P(),) * 5,
         out_specs=P(HALF_AXIS, DATA_AXIS),
         check_vma=False,
@@ -817,10 +871,10 @@ def reconstruct_halves(mesh, f, t, fsc, w0, r_u, *, mode, pf, n, join_half,
 # -------------------------------------------------------- M-step statistics
 
 @partial(jax.jit, static_argnames=("mesh", "mode", "pf", "n", "n_groups",
-                                   "n_shell", "chunk"))
+                                   "n_shell", "chunk", "p_in"))
 def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                    ctf, state, groups, valid, tra_off,
-                   *, mode, pf, n, n_groups, n_shell, chunk):
+                   *, mode, pf, n, n_groups, n_shell, chunk, p_in=0):
     """One pass of rank-1-pose residual statistics for the M-step, reduced
     with ``psum((half, data))`` — the reference's slave-communicator
     allreduces (allReduceSigma src/Optimiser.cpp:6397, refreshScale :5749,
@@ -846,11 +900,16 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
         cnt = jnp.zeros((n_groups,), jnp.float32)
         xa = jnp.zeros((n_groups, n_shell), jnp.float32)
         aa = jnp.zeros((n_groups, n_shell), jnp.float32)
+        big, inner = _split_bricks(bricks)
         norms = []
         for h in range(lh):
-            mc, half_t = _brick_geom(bricks, mode)
-            n_chan = bricks.shape[-1]
-            flat = bricks[h].reshape((-1, n_chan))
+            mc, half_t = _brick_geom(big, mode)
+            n_chan = big.shape[-1]
+            flat = big[h].reshape((-1, n_chan))
+            flat_in, mc_in = None, 0
+            if inner is not None:
+                mc_in = inner.shape[-2]
+                flat_in = inner[h].reshape((-1, n_chan))
             st_h = jax.tree.map(lambda x: x[h], state)
             s_loc = dat.shape[1]
 
@@ -864,8 +923,8 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                 else:
                     coords = projector.slice_coords_3d(rots, col_, row_,
                                                        pf=pf)
-                pri = _fused_class_gather(flat, coords, cls, mc, mode,
-                                          half=half_t)[:, 0]
+                pri = _tier_gather(flat, flat_in, coords, cls, mc, mc_in,
+                                   mode, half_t, p_in)[:, 0]
                 t_o = topt - off
                 tra_o = translation_phase(col_, row_, t_o[:, 0], t_o[:, 1], n)
                 tra_m = translation_phase(col_, row_, topt[:, 0],
@@ -909,7 +968,7 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(HALF_AXIS),) + (P(),) * 4
+        in_specs=(_brick_spec(bricks),) + (P(),) * 4
         + (P(HALF_AXIS, DATA_AXIS),) * 7,
         out_specs=(P(), P(), P(), P(), P(HALF_AXIS, DATA_AXIS)),
         check_vma=False,
