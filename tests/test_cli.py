@@ -126,6 +126,16 @@ def test_select_gallery_and_keep(tmp_path):
     # kept rows preserve their original particle paths
     orig = [p for p, c in zip(t.particle_paths, cls) if c in (0, 2, 3)]
     assert kept.particle_paths == orig
+    # the gallery is interactive: selection JS + exportable keep list
+    assert "Export keep list" in html and "function tog(" in html
+    # --keep-file round-trips the browser's exported keep.txt
+    (tmp_path / "keep.txt").write_text("0,2,3\n")
+    cli(["select", str(tmp_path / "classes.mrcs"), out_html,
+         "--thu", str(tmp_path / "meta.thu"),
+         "--keep-file", str(tmp_path / "keep.txt"),
+         "--keep-output", str(tmp_path / "kept2.thu")])
+    kept2 = read_thu(str(tmp_path / "kept2.thu"))
+    assert kept2.particle_paths == orig
 
 
 def test_run_end_to_end(tmp_path):

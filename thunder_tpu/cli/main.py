@@ -406,23 +406,65 @@ def cmd_select(args):
 
     if args.sort:
         rows.sort(key=lambda r: -r[1])
+    # interactive selection in the browser (the thunder_stackview
+    # check-classes-and-save workflow): click tiles to toggle, export the
+    # keep list, feed it back with --keep-file to write the filtered .thu
     with open(args.output, "w") as f:
-        f.write("<html><body><h2>Class averages: "
-                f"{os.path.basename(args.stack)}</h2>\n"
-                "<div style='display:flex;flex-wrap:wrap'>\n")
+        f.write(
+            "<!doctype html><html><head><meta charset='utf-8'><style>\n"
+            "body{font-family:monospace;margin:16px}\n"
+            ".tile{margin:4px;text-align:center;cursor:pointer;"
+            "border:3px solid transparent;border-radius:4px;padding:2px}\n"
+            ".tile.sel{border-color:#2a7;background:#e8f8f0}\n"
+            "#bar{position:sticky;top:0;background:#fff;padding:8px 0;"
+            "border-bottom:1px solid #ccc;margin-bottom:8px}\n"
+            "button{font-family:monospace;margin-right:8px}\n"
+            "</style></head><body>\n"
+            f"<h2>Class averages: {os.path.basename(args.stack)}</h2>\n"
+            "<div id='bar'><button onclick='all(true)'>Select all"
+            "</button><button onclick='all(false)'>Clear</button>"
+            "<button onclick='inv()'>Invert</button>"
+            "<button onclick='exp()'>Export keep list</button> "
+            "<span id='stat'></span></div>\n"
+            "<div style='display:flex;flex-wrap:wrap'>\n")
         for t, fr, cnt, b64 in rows:
             f.write(
-                "<div style='margin:4px;text-align:center;font-family:"
-                "monospace'>"
+                f"<div class='tile' data-c='{t}' data-n='{cnt}' "
+                "onclick='tog(this)'>"
                 f"<img src='data:image/bmp;base64,{b64}' width='128'><br>"
                 f"class {t}<br>{fr*100:.1f}% ({cnt})</div>\n")
-        f.write("</div></body></html>\n")
-    print(f"wrote gallery with {k} classes to {args.output}")
+        total = int(counts.sum())
+        f.write(
+            "</div><script>\n"
+            f"const TOTAL={max(total, 1)};\n"
+            "function tiles(){return [...document."
+            "querySelectorAll('.tile')]}\n"
+            "function upd(){const s=tiles().filter(t=>t.classList."
+            "contains('sel'));const n=s.reduce((a,t)=>a+ +t.dataset.n,0);"
+            "document.getElementById('stat').textContent="
+            "`${s.length} classes, ${n} particles "
+            "(${(100*n/TOTAL).toFixed(1)}%) selected`;}\n"
+            "function tog(t){t.classList.toggle('sel');upd();}\n"
+            "function all(v){tiles().forEach(t=>t.classList."
+            "toggle('sel',v));upd();}\n"
+            "function inv(){tiles().forEach(t=>t.classList."
+            "toggle('sel'));upd();}\n"
+            "function exp(){const ks=tiles().filter(t=>t.classList."
+            "contains('sel')).map(t=>t.dataset.c).join(',');"
+            "const a=document.createElement('a');"
+            "a.href='data:text/plain,'+encodeURIComponent(ks+'\\n');"
+            "a.download='keep.txt';a.click();}\n"
+            "upd();</script></body></html>\n")
+    print(f"wrote interactive gallery with {k} classes to {args.output}")
+    keep_spec = args.keep
+    if getattr(args, "keep_file", ""):
+        with open(args.keep_file) as kf:
+            keep_spec = ",".join(kf.read().replace("\n", ",").split())
 
-    if args.keep:
+    if keep_spec:
         if table is None:
             raise SystemExit("--keep requires --thu")
-        keep = _parse_keep(args.keep)
+        keep = _parse_keep(keep_spec)
         sel = np.isin(cls, sorted(keep))
         out_thu = args.keep_output or (
             os.path.splitext(args.thu)[0] + "_selected.thu")
@@ -564,6 +606,9 @@ def main(argv=None):
                    help="classes to keep, e.g. '0,2,5-8'; writes the "
                    "filtered .thu")
     s.add_argument("--keep-output", default="")
+    s.add_argument("--keep-file", default="",
+                   help="read the keep list from a file (the gallery's "
+                   "'Export keep list' download)")
     s.add_argument("--sort", action="store_true",
                    help="order gallery by class population")
     s.set_defaults(fn=cmd_select)
