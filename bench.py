@@ -29,6 +29,14 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 
 
+def _prog(msg):
+    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -80,6 +88,7 @@ def main():
         chunks.append(np.asarray(fft_ops.ifft2_center(sl).real, np.float32))
     stack = np.concatenate(chunks)
     stack += rng.normal(0, stack.std(), stack.shape).astype(np.float32)
+    _prog("synthetic stack built")
 
     para = Para(
         mode="3d", k=1, size=n, pixel_size=1.32, mask_radius=75.0,
@@ -98,7 +107,9 @@ def main():
     # warm-up global round seeds the particle filter (not timed), then pin
     # the ladder to the mid-refinement band so every timed round runs the
     # SAME local-search program (stable shapes, no recompiles)
+    _prog("dataset set; starting global warm-up round")
     opt.run_iteration()
+    _prog("global warm-up round done")
 
     def pin_local(r=40):
         opt.ladder.search_type = opt_mod.SEARCH_TYPE_LOCAL
@@ -109,16 +120,18 @@ def main():
     # scheduler reaches different jit variants depending on each round's
     # straggler pattern, and a first-touch compile over the remote tunnel
     # costs 20-40 s — warm the variant set before timing steady state
-    for _ in range(2):
+    for i in range(2):
         pin_local()
         opt.run_iteration()
+        _prog(f"pinned warm-up round {i + 1}/2 done")
 
     times = []
-    for _ in range(4):
+    for i in range(4):
         pin_local()
         t0 = time.perf_counter()
         opt.run_iteration()
         times.append(time.perf_counter() - t0)
+        _prog(f"timed round {i + 1}/4: {times[-1]:.2f} s")
     dt = float(np.median(times))
     particles_per_sec = b / dt
 

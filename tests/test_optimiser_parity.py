@@ -101,7 +101,7 @@ def test_norm_correction_equalizes_noise_power():
     opt.refs = opt.refs * 0.0
 
     def residual_norms():
-        _, _, _, _, norms, _ = opt._residual_stats()
+        _, _, _, _, norms, _, _ = opt._residual_stats()
         sel = opt.plane_valid > 0
         return norms[sel].sum(axis=-1)
 
@@ -115,6 +115,27 @@ def test_norm_correction_equalizes_noise_power():
     after = residual_norms()
     assert (after.std() / after.mean()) < 0.02 < (before.std() / before.mean())
     np.testing.assert_allclose(after, np.median(before), rtol=1e-3)
+
+
+def test_sigma_rescaled_matches_remeasure():
+    """engine.sigma_rescaled re-derives post-norm-correction sigma from
+    the SAME residual pass's per-image ori shells; it must match an
+    explicit second residual pass on the rescaled stacks (the r4 flow)
+    to float accumulation noise (VERDICT r4 weak #8)."""
+    from thunder_tpu.parallel import engine
+
+    opt = _make_opt(noise=0.5)
+    stats = opt._residual_stats()
+    fac = opt.norm_correction(stats=stats)
+    # analytic: from the pre-rescale pass + factors
+    sig_a, cnt_a = engine.sigma_rescaled(
+        opt.mesh, stats[6], fac, jnp.asarray(opt.groups_plane),
+        jnp.asarray(opt.plane_valid), n_groups=opt.n_groups)
+    # explicit: re-measure on the (already rescaled) stacks
+    sig_b, cnt_b, _, _, _, _, _ = opt._residual_stats()
+    np.testing.assert_allclose(np.asarray(cnt_a), cnt_b, rtol=0)
+    np.testing.assert_allclose(np.asarray(sig_a), sig_b, rtol=2e-4,
+                               atol=1e-6 * float(np.abs(sig_b).max()))
 
 
 def test_re_centre_accumulates_offsets_and_zeroes_translation():

@@ -17,12 +17,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-# bucket 1024: the E-step cost is linear in the padded pixel count (the
+# bucket 512: the E-step cost is linear in the padded pixel count (the
 # brick gather is per-index), so tighter buckets cut real work — the demo
-# band r=40 has 2440 ring pixels, 3072 padded vs 4096 at bucket 2048
-# (1.33x less gather). The ladder adds ~1 extra compile per run per bucket
-# boundary; the persistent compile cache amortizes them across runs.
-PIXEL_BUCKET = 1024
+# band r=40 has 2440 ring pixels, 2560 padded at bucket 512 vs 3072 at
+# 1024 vs 4096 at 2048 (17% less gather than 1024 on the dominant phase-B
+# stage). The ladder adds ~1 extra compile per run per bucket boundary;
+# the persistent compile cache amortizes them across runs.
+PIXEL_BUCKET = 512
 
 
 @dataclass

@@ -888,6 +888,12 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
       - xa/aa: (G, n_shell) scale-fit terms Re(dat conj(ctf pri)), |ctf pri|^2
                [scale, ori stack]
       - norm:  (2, S, n_shell) per-image residual shells [norm, masked stack]
+      - ori:   (2, S, n_shell, 3) per-image ori-stack shells
+               [|datOri|^2, Re(datOri conj(ctf pri)), |ctf pri|^2] — lets
+               sigma be re-derived EXACTLY after a per-image rescale
+               (norm correction scales datOri by fac:
+               |fac d - cp|^2 = fac^2 dd - 2 fac xa + aa) without a second
+               projection pass (sigma_rescaled)
 
     tra_off: (2, S, 2) accumulated re-centring offsets. Shell selection into
     frequency bands happens on the host (bands are iteration-dependent).
@@ -901,7 +907,7 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
         xa = jnp.zeros((n_groups, n_shell), jnp.float32)
         aa = jnp.zeros((n_groups, n_shell), jnp.float32)
         big, inner = _split_bricks(bricks)
-        norms = []
+        norms, oris = [], []
         for h in range(lh):
             mc, half_t = _brick_geom(big, mode)
             n_chan = big.shape[-1]
@@ -933,6 +939,7 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                 res_o = jnp.abs(d_o - c * pri * tra_o) ** 2 * pm
                 res_m = jnp.abs(d - c * pri * tra_m) ** 2 * pm
                 cp_o = c * pri * tra_o
+                dd_l = (d_o.real**2 + d_o.imag**2) * pm
                 xa_l = (jnp.conj(d_o) * cp_o).real * pm
                 aa_l = (cp_o.real**2 + cp_o.imag**2) * pm
 
@@ -942,13 +949,16 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
 
                 sh_o = to_shell(res_o)
                 sh_m = to_shell(res_m)
+                sh_xa = to_shell(xa_l)
+                sh_aa = to_shell(aa_l)
                 sig2 = sig.at[g].add(sh_o)
                 cnt2 = cnt.at[g].add(v)
-                xa2 = xa.at[g].add(to_shell(xa_l))
-                aa2 = aa.at[g].add(to_shell(aa_l))
-                return (sig2, cnt2, xa2, aa2), sh_m
+                xa2 = xa.at[g].add(sh_xa)
+                aa2 = aa.at[g].add(sh_aa)
+                ori_img = jnp.stack([to_shell(dd_l), sh_xa, sh_aa], -1)
+                return (sig2, cnt2, xa2, aa2), (sh_m, ori_img)
 
-            (sig, cnt, xa, aa), norm_c = jax.lax.scan(
+            (sig, cnt, xa, aa), (norm_c, ori_c) = jax.lax.scan(
                 chunk_step, (sig, cnt, xa, aa), (
                     _chunked(dat[h], chunk), _chunked(dat_ori[h], chunk),
                     _chunked(ctf[h], chunk), _chunked(groups[h], chunk),
@@ -959,18 +969,53 @@ def residual_stats(mesh, bricks, col, row, sig_idx, pmask, dat, dat_ori,
                     _chunked(st_h["c"], chunk),
                 ))
             norms.append(_unchunked(norm_c, s_loc))
+            oris.append(_unchunked(ori_c, s_loc))
         sig = jax.lax.psum(sig, (HALF_AXIS, DATA_AXIS))
         cnt = jax.lax.psum(cnt, (HALF_AXIS, DATA_AXIS))
         xa = jax.lax.psum(xa, (HALF_AXIS, DATA_AXIS))
         aa = jax.lax.psum(aa, (HALF_AXIS, DATA_AXIS))
-        return sig, cnt, xa, aa, jnp.stack(norms)
+        return sig, cnt, xa, aa, jnp.stack(norms), jnp.stack(oris)
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(_brick_spec(bricks),) + (P(),) * 4
         + (P(HALF_AXIS, DATA_AXIS),) * 7,
-        out_specs=(P(), P(), P(), P(), P(HALF_AXIS, DATA_AXIS)),
+        out_specs=(P(), P(), P(), P(), P(HALF_AXIS, DATA_AXIS),
+                   P(HALF_AXIS, DATA_AXIS)),
         check_vma=False,
     )(bricks, col, row, sig_idx, pmask, dat, dat_ori, ctf, state, groups,
       valid, tra_off)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_groups"))
+def sigma_rescaled(mesh, ori_img, fac, groups, valid, *, n_groups):
+    """Per-group sigma shell sums AFTER a per-image rescale, from the
+    residual pass's per-image ori-stack shells (residual_stats ``ori``):
+    sig_g = sum_{l in g} fac_l^2 dd_l - 2 fac_l xa_l + aa_l — algebraically
+    identical to re-measuring |fac datOri - ctf pri|^2 (the reference's
+    allReduceSigma after normCorrection, src/Optimiser.cpp:3405-3419)
+    without the second projection pass.
+
+    ori_img: (2, S, n_shell, 3); fac: (2, S) norm-correction factors;
+    groups/valid: (2, S). Returns psum'd ((G, n_shell), (G,))."""
+
+    def local(ori, fac_, g, v):
+        f = fac_[..., None]
+        sig_img = (f * f * ori[..., 0] - 2.0 * f * ori[..., 1]
+                   + ori[..., 2]) * v[..., None]
+        sig = jnp.zeros((n_groups, sig_img.shape[-1]), jnp.float32)
+        cnt = jnp.zeros((n_groups,), jnp.float32)
+        sig = sig.at[g.reshape(-1)].add(sig_img.reshape(-1,
+                                                        sig_img.shape[-1]))
+        cnt = cnt.at[g.reshape(-1)].add(v.reshape(-1))
+        return (jax.lax.psum(sig, (HALF_AXIS, DATA_AXIS)),
+                jax.lax.psum(cnt, (HALF_AXIS, DATA_AXIS)))
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(HALF_AXIS, DATA_AXIS),) * 4,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(ori_img, fac, groups, valid)
